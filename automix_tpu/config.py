@@ -1,0 +1,97 @@
+"""Engine configuration.
+
+The reference library configures the sampler through plain struct fields set
+after ``initAMSampler`` (reference ``automix.h:222-228``, defaults at
+``automix.c:234-238``) plus hard caps ``NMODELS_MAX=15``,
+``NUM_MIX_COMPS_MAX=30``, ``NUM_FITMIX_MAX=5000`` (``automix.c:204-206``).
+
+This engine keeps the same knobs (``adapt``/``perm``/``student_t_dof``/
+``mix_fit``/``seed``) and caps, and adds the TPU-native axes the reference
+does not have: the number of parallel chains, the compute dtype, and the
+chunking of the scan-compiled hot loop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax.numpy as jnp
+
+# Mixture-fit modes, mirroring `automix_mix_fit` (automix.h:56).
+FIGUEIREDO_MIX_FIT = "figueiredo"
+AUTORJ_MIX_FIT = "autorj"
+
+# Value used in place of the reference's -DBL_MAX for out-of-support states
+# (e.g. tests/test_automix.c:247,267).  Large enough to always reject, small
+# enough that float32 arithmetic on it stays finite.
+NEG_INF = -1e30
+
+# MH acceptance clamp: accept with prob exp(max(-30, min(0, logratio)))
+# (automix.c:612,628,1063,1077,1247).
+LOG_ACCEPT_CLAMP = -30.0
+
+# Stage-1 target acceptance rate alphastar (automix.c:581).
+RWM_TARGET_ACCEPT = 0.25
+
+# Figueiredo-Jain component annihilation threshold (automix.c:794).
+EM_ANNIHILATION_THRESHOLD = 0.005
+
+# Degenerate E-step guard: the reference detects "no component explains this
+# point" when exp() underflows to exactly 0 in double precision
+# (automix.c:855-866); we detect it on the log scale instead.
+EM_DEGENERATE_LOGSUM = -700.0
+EM_DEGENERATE_PENALTY = -500.0
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    """Static configuration of the TPU RJMCMC engine.
+
+    Attributes mirror the reference knobs where one exists; TPU-native knobs
+    are documented inline.
+    """
+
+    # --- reference-equivalent knobs -------------------------------------
+    seed: int = 0
+    adapt: bool = True            # doAdapt (automix.c:235)
+    perm: bool = False            # doPerm (automix.c:236)
+    student_t_dof: int = 0        # student_T_dof (automix.c:237); 0 => Normal
+    mix_fit: str = FIGUEIREDO_MIX_FIT   # am_mixfit (automix.c:238)
+    max_mix_comps: int = 30       # NUM_MIX_COMPS_MAX (automix.c:205)
+    max_em_iters: int = 5000      # NUM_FITMIX_MAX (automix.c:206)
+
+    # --- TPU-native knobs ------------------------------------------------
+    # Number of parallel RJMCMC chains in stage 3.  The reference runs
+    # exactly one chain (automix.c:90-125); the chain axis is this engine's
+    # primary throughput axis.
+    n_chains: int = 4096
+    # Stage-1 chains per model.  Each contributes one final-state sample to
+    # the EM fit, replacing the reference's 1000*mdim thinned single-chain
+    # draws (automix.c:642-647) with independent parallel draws.
+    n_chains_stage1: int = 2048
+    # Stage-1 sweep count (before the +10% burn-in that the reference also
+    # adds, automix.c:579-582).  The reference needs >=100k sequential
+    # sweeps for one chain; pooled adaptation across n_chains_stage1 chains
+    # converges in far fewer.
+    stage1_sweeps: int = 10000
+    # Number of sweeps compiled into one lax.scan chunk of the stage-3 hot
+    # loop.  Host-side int64/float64 accumulation between chunks avoids
+    # int32 overflow of visit counters without enabling jax_enable_x64.
+    sweep_chunk: int = 1000
+    # How many chains have their model-index trace recorded per sweep (for
+    # Sokal autocorrelation diagnostics and _k.data-style output).  The
+    # reference records its single chain (automix.c:101,122-124).
+    n_trace_chains: int = 8
+    # Record chain 0's pk / logp / theta trace every sweep (parity with
+    # _pk.data/_lp.data/_theta<k>.data writers, logwrite.c:162-220).
+    trace_chain0: bool = True
+    dtype: Any = jnp.float32
+
+    def __post_init__(self):
+        if self.mix_fit not in (FIGUEIREDO_MIX_FIT, AUTORJ_MIX_FIT):
+            raise ValueError(f"unknown mix_fit {self.mix_fit!r}")
+        if self.n_chains < 1:
+            raise ValueError("n_chains must be >= 1")
+        if self.student_t_dof < 0:
+            raise ValueError("student_t_dof must be >= 0")

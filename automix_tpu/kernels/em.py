@@ -1,0 +1,294 @@
+"""Stage 2: fitting the Normal-mixture proposal to stage-1 samples.
+
+Figueiredo-Jain component-annihilating EM (``fit_mixture_from_samples``,
+automix.c:664-1006) and the AutoRJ single-Normal shortcut (``fit_autorj``,
+automix.c:1008-1033), re-designed for fixed shapes:
+
+* the C code *compacts* arrays when a component dies
+  (automix.c:821-845, 908-921); here a component is a *slot* with an alive
+  mask — dead slots keep ``lam == 0`` and are excluded from every reduction,
+  which is exactly equivalent and keeps all shapes static;
+* responsibilities are computed in log space with logsumexp instead of the
+  C's raw ``exp`` + underflow guard (automix.c:855-866); the degenerate
+  "no component explains this point" case is detected as
+  ``logsumexp < EM_DEGENERATE_LOGSUM`` and handled identically (uniform
+  responsibilities, lpn penalty);
+* the whole fit is one ``lax.while_loop`` whose body is masked to a no-op
+  once a model has converged, so it vmaps over all K models at once;
+* all sufficient statistics are sample-axis matmul reductions
+  (automix.c:773-811), which makes them `psum`-able when the sample axis is
+  sharded.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.special import logsumexp
+
+from automix_tpu.config import (
+    EM_ANNIHILATION_THRESHOLD,
+    EM_DEGENERATE_LOGSUM,
+    EM_DEGENERATE_PENALTY,
+    EngineConfig,
+)
+from automix_tpu.model import ModelSet
+from automix_tpu.ops import linalg
+from automix_tpu.state import Proposal
+
+_NEG = -jnp.inf
+
+
+def _e_step(lam, alive, lpdata):
+    """Responsibilities + mixture log-likelihood (automix.c:846-867).
+
+    Returns (w [N, L], lpn scalar).  Dead slots get zero responsibility.
+    """
+    alive_f = alive.astype(lpdata.dtype)
+    n_alive = jnp.maximum(alive_f.sum(), 1.0)
+    loglam = jnp.where(alive, jnp.log(jnp.maximum(lam, 1e-38)), _NEG)
+    logw = loglam[None, :] + lpdata                       # [N, L]
+    logsum = logsumexp(logw, axis=1)                      # [N]
+    degenerate = logsum < EM_DEGENERATE_LOGSUM
+    softmax = jnp.exp(logw - jnp.where(degenerate, 0.0, logsum)[:, None])
+    softmax = softmax * alive_f[None, :]
+    uniform = alive_f[None, :] / n_alive
+    w = jnp.where(degenerate[:, None], uniform, softmax)
+    lpn = jnp.sum(jnp.where(degenerate, EM_DEGENERATE_PENALTY, logsum))
+    return w, lpn
+
+
+def _mml_cost(lam, alive, Lkk, lpn, nparams, n):
+    """The MML cost function (automix.c:870-876)."""
+    dtype = lam.dtype
+    nf = jnp.asarray(n, dtype)
+    s = jnp.sum(jnp.where(alive, jnp.log(jnp.maximum(nf * lam / 12.0, 1e-38)), 0.0))
+    Lf = Lkk.astype(dtype)
+    return (nparams / 2.0) * s + (Lf / 2.0) * jnp.log(nf / 12.0) \
+        + Lf * (nparams + 1.0) / 2.0 - lpn
+
+
+def _renormalize(lam, alive):
+    lam = lam * alive.astype(lam.dtype)
+    return lam / jnp.maximum(lam.sum(), 1e-38)
+
+
+def fit_figueiredo(samples, dim, key, lmax: int, max_iters: int):
+    """Fit one model's mixture.  ``samples`` [N, D] padded, ``dim`` scalar.
+
+    Returns dict with lam/mu/B [lmax,...], alive mask, nmix, iteration
+    count, and per-iteration telemetry (Lkk / lpn / cost / annihilations —
+    the engine's ``fitmix_*`` cpstats, automix.h:164-168).
+    """
+    N, D = samples.shape
+    dtype = samples.dtype
+    dimf = dim.astype(dtype)
+    nparams = dimf + dimf * (dimf + 1.0) / 2.0        # automix.c:751
+    coord_mask = (jnp.arange(D) < dim).astype(dtype)
+
+    # --- init: lmax components seeded at distinct random samples with a
+    # common spherical covariance trace(cov)/(10*mdim) (automix.c:682-723).
+    idx = jax.random.choice(key, N, (lmax,), replace=False)
+    mu0 = samples[idx]                                 # [L, D]
+    var = samples.var(axis=0) * coord_mask             # biased var, /n as in C
+    sigma = var.sum() / (10.0 * dimf)
+    diag0 = jnp.where(jnp.arange(D) < dim, jnp.sqrt(sigma), 1.0)
+    B0 = jnp.broadcast_to(jnp.diag(diag0), (lmax, D, D))
+    lam0 = jnp.full((lmax,), 1.0 / lmax, dtype)
+    alive0 = jnp.ones((lmax,), bool)
+
+    lpdata0 = jax.vmap(
+        lambda m, b: linalg.lnormprob(samples, m, b, dim), out_axes=1)(mu0, B0)
+    w0, lpn0 = _e_step(lam0, alive0, lpdata0)
+
+    tele0 = {
+        "Lkk": jnp.zeros((max_iters,), jnp.int32),
+        "lpn": jnp.zeros((max_iters,), dtype),
+        "cost": jnp.zeros((max_iters,), dtype),
+        "ann": jnp.zeros((max_iters,), jnp.int32),
+    }
+    state0 = {
+        "lam": lam0, "mu": mu0, "B": B0, "lpdata": lpdata0, "w": w0,
+        "alive": alive0, "Lkk": jnp.asarray(lmax, jnp.int32),
+        "lpn": lpn0, "costfn": jnp.asarray(0.0, dtype),
+        "costmin": jnp.asarray(jnp.inf, dtype),
+        "best_lam": lam0, "best_mu": mu0, "best_B": B0,
+        "best_alive": alive0, "best_Lkk": jnp.asarray(lmax, jnp.int32),
+        "count": jnp.asarray(0, jnp.int32),
+        "stop": jnp.asarray(False),
+        "tele": tele0,
+    }
+
+    def slot_body(l1, st):
+        """Component-wise M-step + E-step for slot l1 (automix.c:772-868)."""
+        lam, mu, B, lpdata, w, alive = (
+            st["lam"], st["mu"], st["B"], st["lpdata"], st["w"], st["alive"])
+        process = alive[l1]
+        natann = st["natann"]
+
+        sumw = w.sum(axis=0)                                     # [L]
+        wnew = jnp.maximum(sumw - nparams / 2.0, 0.0) * alive.astype(lam.dtype)
+        lam_upd = lam.at[l1].set(wnew[l1] / jnp.maximum(wnew.sum(), 1e-38))
+        lam_upd = _renormalize(lam_upd, alive)
+        keep = lam_upd[l1] > EM_ANNIHILATION_THRESHOLD           # automix.c:794
+
+        # branch A: refit component l1 (automix.c:796-818)
+        wl = w[:, l1]
+        sw = jnp.maximum(sumw[l1], 1e-38)
+        mean = (wl @ samples) / sw * coord_mask
+        xc = (samples - mean) * coord_mask
+        cov = jnp.einsum("n,ni,nj->ij", wl, xc, xc) / sw
+        cov = jnp.where(jnp.isfinite(cov), cov, jnp.eye(D, dtype=dtype))
+        B_l1 = linalg.chol(cov, dim=dim, jitter=1e-6)
+        B_l1 = jnp.where(jnp.isfinite(B_l1), B_l1, jnp.eye(D, dtype=dtype))
+        lp_l1 = linalg.lnormprob(samples, mean, B_l1, dim)       # [N]
+
+        # branch B: natural annihilation (automix.c:821-845) — no array
+        # compaction, just kill the slot and renormalize.
+        lam_ann = _renormalize(lam_upd.at[l1].set(0.0), alive.at[l1].set(False))
+
+        upd_keep = process & keep
+        upd_ann = process & ~keep
+        lam = jnp.where(upd_ann, lam_ann, jnp.where(process, lam_upd, lam))
+        alive = alive.at[l1].set(alive[l1] & ~upd_ann)
+        mu = jnp.where(upd_keep, mu.at[l1].set(mean), mu)
+        B = jnp.where(upd_keep, B.at[l1].set(B_l1), B)
+        lpdata = jnp.where(upd_keep, lpdata.at[:, l1].set(lp_l1), lpdata)
+        Lkk = st["Lkk"] - upd_ann.astype(jnp.int32)
+        natann = natann | upd_ann
+
+        w, lpn = _e_step(lam, alive, lpdata)
+        st = dict(st, lam=lam, mu=mu, B=B, lpdata=lpdata, w=w, alive=alive,
+                  Lkk=Lkk, lpn=lpn, natann=natann)
+        return st
+
+    def body(st):
+        count = st["count"] + 1
+        st = dict(st, count=count, natann=jnp.asarray(False))
+        st = jax.lax.fori_loop(0, lmax, slot_body, st)
+
+        cost_new = _mml_cost(st["lam"], st["alive"], st["Lkk"], st["lpn"],
+                             nparams, N)
+        first = count == 1
+        costfn = jnp.where(first, cost_new, st["costfn"])
+
+        # keep the globally best configuration (automix.c:881-893)
+        better = first | (cost_new < st["costmin"])
+        best = {
+            "best_lam": jnp.where(better, st["lam"], st["best_lam"]),
+            "best_mu": jnp.where(better, st["mu"], st["best_mu"]),
+            "best_B": jnp.where(better, st["B"], st["best_B"]),
+            "best_alive": jnp.where(better, st["alive"], st["best_alive"]),
+            "best_Lkk": jnp.where(better, st["Lkk"], st["best_Lkk"]),
+        }
+        costmin = jnp.where(better, cost_new, st["costmin"])
+
+        converged = (jnp.abs(costfn - cost_new)
+                     < jnp.minimum(1e-5 * jnp.abs(costfn), 0.01)) & (count > 1)
+        stop = converged & (st["Lkk"] == 1)
+
+        # forced annihilation of the min-weight component on convergence
+        # with Lkk > 1 (automix.c:896-959)
+        force = converged & (st["Lkk"] > 1)
+        lam_masked = jnp.where(st["alive"], st["lam"], jnp.inf)
+        ldel = jnp.argmin(lam_masked)
+        alive_f = st["alive"].at[ldel].set(st["alive"][ldel] & ~force)
+        lam_f = jnp.where(force, _renormalize(st["lam"].at[ldel].set(0.0), alive_f),
+                          st["lam"])
+        Lkk_f = st["Lkk"] - force.astype(jnp.int32)
+        w_f, lpn_f = _e_step(lam_f, alive_f, st["lpdata"])
+        cost_f = _mml_cost(lam_f, alive_f, Lkk_f, lpn_f, nparams, N)
+        lam = jnp.where(force, lam_f, st["lam"])
+        alive = jnp.where(force, alive_f, st["alive"])
+        Lkk = jnp.where(force, Lkk_f, st["Lkk"])
+        w = jnp.where(force, w_f, st["w"])
+        lpn = jnp.where(force, lpn_f, st["lpn"])
+        cost_new = jnp.where(force, cost_f, cost_new)
+
+        stop = stop | (count > max_iters)
+
+        # telemetry (automix.c:964-970): annulations code natann + 2*force
+        t = jnp.minimum(count - 1, max_iters - 1)
+        tele = st["tele"]
+        tele = {
+            "Lkk": tele["Lkk"].at[t].set(Lkk),
+            "lpn": tele["lpn"].at[t].set(lpn),
+            "cost": tele["cost"].at[t].set(cost_new),
+            "ann": tele["ann"].at[t].set(
+                st["natann"].astype(jnp.int32) + 2 * force.astype(jnp.int32)),
+        }
+        new = dict(st, lam=lam, alive=alive, Lkk=Lkk, w=w, lpn=lpn,
+                   costfn=cost_new, costmin=costmin, stop=stop, tele=tele,
+                   **best)
+        del new["natann"]
+        # no-op when this model has already stopped (keeps the fit correct
+        # under vmap, where the while_loop runs until *all* models stop)
+        prev_stop = st["stop"]
+        merged = jax.tree.map(lambda old, nw: jnp.where(prev_stop, old, nw),
+                              {k: v for k, v in st.items() if k != "natann"}, new)
+        return merged
+
+    def cond(st):
+        return ~st["stop"]
+
+    final = jax.lax.while_loop(cond, body, state0)
+
+    best_alive = final["best_alive"]
+    af = best_alive.astype(dtype)
+    lam = _renormalize(final["best_lam"], best_alive)
+    mu = final["best_mu"] * af[:, None]
+    eye = jnp.broadcast_to(jnp.eye(D, dtype=dtype), (lmax, D, D))
+    B = jnp.where(best_alive[:, None, None], final["best_B"], eye)
+    return {
+        "lam": lam, "mu": mu, "B": B, "alive": best_alive,
+        "nmix": final["best_Lkk"], "iters": final["count"],
+        "tele": final["tele"],
+    }
+
+
+def fit_autorj(samples, dim):
+    """AutoRJ mode: a single Normal fit (automix.c:1008-1033)."""
+    N, D = samples.shape
+    dtype = samples.dtype
+    coord_mask = (jnp.arange(D) < dim).astype(dtype)
+    mean = samples.mean(axis=0) * coord_mask
+    xc = (samples - mean) * coord_mask
+    cov = jnp.einsum("ni,nj->ij", xc, xc) / (N - 1)   # automix.c:1029
+    B0 = linalg.chol(cov, dim=dim, jitter=1e-6)
+    lmax_axis = None  # single component
+    return mean, B0
+
+
+def fit_proposal(modelset: ModelSet, cfg: EngineConfig, samples, sig, key):
+    """Fit every model's proposal mixture and assemble a Proposal pytree.
+
+    ``samples``: [K, C, D] stage-1 output; ``sig``: [K, D] adapted scales.
+    Returns (Proposal, telemetry dict).
+    """
+    K, C, D = samples.shape
+    lmax = cfg.max_mix_comps
+    dims = modelset.dims_device
+    dtype = cfg.dtype
+
+    if cfg.mix_fit == "autorj":
+        means, Bs = jax.vmap(fit_autorj)(samples, dims)
+        lam = jnp.zeros((K, lmax), dtype).at[:, 0].set(1.0)
+        mu = jnp.zeros((K, lmax, D), dtype).at[:, 0].set(means)
+        eye = jnp.broadcast_to(jnp.eye(D, dtype=dtype), (K, lmax, D, D))
+        B = eye.at[:, 0].set(Bs)
+        nmix = jnp.ones((K,), jnp.int32)
+        telemetry = {}
+    else:
+        keys = jax.random.split(key, K)
+        fit = jax.jit(jax.vmap(
+            lambda s, d, k: fit_figueiredo(s, d, k, lmax, cfg.max_em_iters)))
+        out = fit(samples, dims, keys)
+        lam, mu, B = out["lam"], out["mu"], out["B"]
+        nmix = out["nmix"]
+        telemetry = {"em_iters": out["iters"], "em_trace": out["tele"]}
+
+    logdetB = jax.vmap(
+        lambda Bk, d: jax.vmap(lambda b: linalg.log_det_tri(b, d))(Bk))(B, dims)
+    proposal = Proposal(lam=lam, mu=mu, B=B, logdetB=logdetB, nmix=nmix,
+                        sig=sig)
+    return proposal, telemetry

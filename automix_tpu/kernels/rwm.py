@@ -1,0 +1,173 @@
+"""Stage 1: adaptive within-model random-walk Metropolis.
+
+The reference runs, for each model k in turn, a single chain for
+``nsweepr = max(nsweep2, 10000*mdim)`` (+10% burn) sweeps of componentwise
+RWM with AAP diminishing adaptation, then thins the tail into 1000*mdim
+samples for the stage-2 mixture fit (``rwm_within_model``,
+automix.c:575-662, driven by the per-model loop at automix.c:163-192).
+The per-coordinate Metropolis chain is inherently sequential, so the C
+implementation's wall-clock scales with sweeps x mdim.
+
+TPU-native inversion: run ``C`` chains *per model*, for *all models at
+once*, in one scan over sweeps — a [K*C] chain batch on padded [K*C, dmax]
+state.  The Robbins-Monro scale adaptation pools the acceptance indicator
+across each model's C chains: the reference's per-event update
+
+    accept: sig -= gamma*(alphastar - 1);  reject: sig -= gamma*alphastar
+    (automix.c:634,638)
+
+has expected drift ``gamma*(P(accept) - alphastar)`` per event, so the
+pooled update ``sig += gamma*(mean_accept - alphastar)`` follows the same
+ODE with a C-times lower-variance gradient — allowing far fewer sweeps for
+the same adapted scales.  Samples for stage 2 are the C chains' final
+states: independent draws instead of a thinned autocorrelated chain.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from automix_tpu.config import (
+    EngineConfig,
+    LOG_ACCEPT_CLAMP,
+    RWM_TARGET_ACCEPT,
+)
+from automix_tpu.model import ModelSet
+from automix_tpu.ops import randoms
+
+TELEMETRY_EVERY = 100  # reference logs sig/acceptance every 100 sweeps (automix.c:648-655)
+
+
+def _accept_prob(delta):
+    """exp(max(-30, min(0, delta))) — the clamped MH rule (automix.c:628)."""
+    return jnp.exp(jnp.clip(delta, LOG_ACCEPT_CLAMP, 0.0))
+
+
+def run_stage1(modelset: ModelSet, cfg: EngineConfig, key, nsweeps: int,
+               n_chains_per_model: int | None = None):
+    """Run adaptive RWM for every model simultaneously.
+
+    Returns ``(sig [K, D], samples [K, C, D], telemetry dict)`` where
+    ``samples`` feed the stage-2 mixture fit.  Telemetry holds ``sig`` and
+    pooled acceptance-ratio snapshots every 100 sweeps (the engine's
+    ``sig_k_rwm_summary`` / ``nacc_ntry_rwm``, automix.h:162-163).
+    """
+    K, D = modelset.nmodels, modelset.dmax
+    C = n_chains_per_model or cfg.n_chains_stage1
+    dtype = cfg.dtype
+    dof = cfg.student_t_dof
+
+    nburn = nsweeps // 10
+    total = nsweeps + nburn
+    n_tele = max(1, total // TELEMETRY_EVERY)
+
+    dims = modelset.dims_device                     # [K]
+    k_assign = jnp.repeat(jnp.arange(K, dtype=jnp.int32), C)   # [M]
+    M = K * C
+
+    key, k_init = jax.random.split(key)
+    init_theta = modelset.init_points(k_init)       # [K, D]
+
+    def stage1_jit(key):
+        theta0 = init_theta[k_assign]               # [M, D]
+        lp0 = modelset.logpost_batch(k_assign, theta0)
+        sig0 = jnp.full((K, D), 10.0, dtype)        # automix.c:595
+        nacc0 = jnp.zeros((K, D), dtype)
+        ntry0 = jnp.zeros((K, D), dtype)
+        tele_sig0 = jnp.zeros((n_tele, K, D), dtype)
+        tele_acc0 = jnp.zeros((n_tele, K, D), dtype)
+
+        chain_keys = jax.random.split(key, M)
+
+        def componentwise(sweep, theta, lp, sig, nacc, ntry, keys):
+            """One adaptive componentwise sweep (automix.c:618-640)."""
+            gamma = 10.0 * (1.0 / (sweep + 1.0)) ** (2.0 / 3.0)
+
+            def coord_body(j, carry):
+                theta, lp, sig, nacc, ntry = carry
+                kj = jax.vmap(lambda ck: jax.random.fold_in(ck, j))(keys)
+                k1 = jax.vmap(lambda ck: jax.random.fold_in(ck, 0))(kj)
+                k2 = jax.vmap(lambda ck: jax.random.fold_in(ck, 1))(kj)
+                z = jax.vmap(lambda kk: randoms.rand_t(kk, (), dof, dtype))(k1)
+                u = jax.vmap(lambda kk: jax.random.uniform(kk, (), dtype))(k2)
+                active = j < dims[k_assign]                       # [M]
+                prop_j = theta[:, j] + sig[k_assign, j] * z
+                theta_prop = theta.at[:, j].set(prop_j)
+                lpn = modelset.logpost_batch(k_assign, theta_prop)
+                acc = (u < _accept_prob(lpn - lp)) & active
+                theta = jnp.where(acc[:, None], theta_prop, theta)
+                lp = jnp.where(acc, lpn, lp)
+                # pooled Robbins-Monro sig update per (model, coordinate)
+                accf = acc.astype(dtype).reshape(K, C)
+                mean_acc = accf.mean(axis=1)                      # [K]
+                coord_active = (j < dims).astype(dtype)           # [K]
+                upd = gamma * (mean_acc - RWM_TARGET_ACCEPT) * coord_active
+                sig = sig.at[:, j].set(jnp.maximum(sig[:, j] + upd, 0.0))
+                nacc = nacc.at[:, j].add(accf.sum(axis=1))
+                ntry = ntry.at[:, j].add(coord_active * C)
+                return theta, lp, sig, nacc, ntry
+
+            return jax.lax.fori_loop(0, D, coord_body, (theta, lp, sig, nacc, ntry))
+
+        def block(theta, lp, sig, keys):
+            """One full-vector non-adapting sweep (automix.c:606-617)."""
+            k1 = jax.vmap(lambda ck: jax.random.fold_in(ck, 10_001))(keys)
+            k2 = jax.vmap(lambda ck: jax.random.fold_in(ck, 10_002))(keys)
+            z = jax.vmap(lambda kk: randoms.rand_t(kk, (D,), dof, dtype))(k1)
+            u = jax.vmap(lambda kk: jax.random.uniform(kk, (), dtype))(k2)
+            mask = (jnp.arange(D)[None, :] < dims[k_assign][:, None]).astype(dtype)
+            theta_prop = theta + sig[k_assign] * z * mask
+            lpn = modelset.logpost_batch(k_assign, theta_prop)
+            acc = u < _accept_prob(lpn - lp)
+            theta = jnp.where(acc[:, None], theta_prop, theta)
+            lp = jnp.where(acc, lpn, lp)
+            return theta, lp
+
+        def sweep_body(carry, sweep):
+            theta, lp, sig, nacc, ntry, tele_sig, tele_acc = carry
+            keys = jax.vmap(lambda ck: jax.random.fold_in(ck, sweep))(chain_keys)
+            gkey = jax.random.fold_in(jax.random.fold_in(key, 7), sweep)
+            u_block = jax.random.uniform(gkey, (), dtype)
+            # One coin per sweep for the whole batch, mirroring the single
+            # chain's per-sweep coin (automix.c:605-606): after burn-in, 10%
+            # of sweeps are non-adapting full-vector moves.
+            do_block = (sweep > nburn) & (u_block < 0.1)
+
+            def do_block_fn(args):
+                theta, lp, sig, nacc, ntry = args
+                theta, lp = block(theta, lp, sig, keys)
+                return theta, lp, sig, nacc, ntry
+
+            def do_cw_fn(args):
+                theta, lp, sig, nacc, ntry = args
+                return componentwise(sweep.astype(dtype), theta, lp, sig, nacc, ntry, keys)
+
+            theta, lp, sig, nacc, ntry = jax.lax.cond(
+                do_block, do_block_fn, do_cw_fn, (theta, lp, sig, nacc, ntry))
+
+            # telemetry every TELEMETRY_EVERY sweeps (automix.c:648-655)
+            t_idx = jnp.minimum(sweep // TELEMETRY_EVERY, n_tele - 1)
+            write = (sweep % TELEMETRY_EVERY) == 0
+            ratio = nacc / jnp.maximum(ntry, 1.0)
+            tele_sig = jax.lax.cond(
+                write, lambda ts: ts.at[t_idx].set(sig), lambda ts: ts, tele_sig)
+            tele_acc = jax.lax.cond(
+                write, lambda ta: ta.at[t_idx].set(ratio), lambda ta: ta, tele_acc)
+            return (theta, lp, sig, nacc, ntry, tele_sig, tele_acc), None
+
+        sweeps = jnp.arange(1, total + 1)
+        carry0 = (theta0, lp0, sig0, nacc0, ntry0, tele_sig0, tele_acc0)
+        (theta, lp, sig, nacc, ntry, tele_sig, tele_acc), _ = jax.lax.scan(
+            sweep_body, carry0, sweeps)
+        samples = theta.reshape(K, C, D)
+        return sig, samples, tele_sig, tele_acc, lp.reshape(K, C)
+
+    sig, samples, tele_sig, tele_acc, lp = jax.jit(stage1_jit)(key)
+    telemetry = {
+        "sig_trace": tele_sig,
+        "accept_trace": tele_acc,
+        "final_logp": lp,
+        "nsweeps": total,
+    }
+    return sig, samples, telemetry

@@ -1,0 +1,143 @@
+"""Model registry: the engine's replacement for the C callback contract.
+
+The reference receives the target as a C function pointer
+``double (*targetDist)(int model_k, double *x)`` (automix.h:46) stored in
+the sampler struct (automix.h:224) and invoked once per proposal evaluation
+(automix.c:599,611,627,1062,1076,1238) — the single inversion of control in
+the library.  The legacy v1 contract adds ``get_nmodels`` /
+``load_model_dims`` / ``get_rwm_init`` (user.h:9-20).
+
+Here a model is a pure JAX log-density; the registry pads all models to a
+common ``dmax`` and builds a ``lax.switch``-dispatched log-posterior that
+vectorizes over chains in different models (`vmap` of the switch evaluates
+every branch on every chain and selects — the price of staying dense, cheap
+for the reference's model counts K <= 15).
+
+Because log-densities are pure JAX, gradients for the HMC/NUTS within-model
+moves come for free via ``jax.grad``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from automix_tpu.config import NEG_INF
+
+
+@dataclasses.dataclass(frozen=True)
+class Model:
+    """One model in the trans-dimensional union space.
+
+    ``logp(theta) -> scalar`` is the log-posterior (up to an additive
+    constant) of this model's continuous parameters; ``theta`` has shape
+    ``[dim]``.  Any model prior weight must be folded into ``logp`` (as the
+    reference examples do, e.g. usertoy1.c:96-100).
+
+    ``init`` is the deterministic starting point for stage-1 RWM runs,
+    mirroring ``initRWM``/``get_rwm_init`` (automix.c:211-229, user.h:16).
+    If None, the engine draws uniform [0,1) starts like ``initAMSampler``
+    does (automix.c:215-220).
+
+    ``loglik`` optionally reports a likelihood component separately (the
+    v1 contract's ``llh`` out-parameter, user.h:19); used only for the
+    ``_lp.data``-style trace.
+    """
+
+    name: str
+    dim: int
+    logp: Callable
+    init: Optional[np.ndarray] = None
+    loglik: Optional[Callable] = None
+
+
+class ModelSet:
+    """A fixed collection of models, padded to a common max dimension."""
+
+    def __init__(self, models: Sequence[Model], dtype=jnp.float32):
+        if not models:
+            raise ValueError("need at least one model")
+        self.models = tuple(models)
+        self.dtype = dtype
+        self.nmodels = len(models)
+        self.dims = np.array([m.dim for m in models], dtype=np.int32)
+        self.dmax = int(self.dims.max())
+        self.dims_device = jnp.asarray(self.dims)
+
+    # -- construction helpers -------------------------------------------
+
+    @classmethod
+    def from_callback(cls, nmodels: int, model_dims: Sequence[int], logpost,
+                      init=None, dtype=jnp.float32, name: str = "model"):
+        """Build from a C-style single callback ``logpost(k, theta)``.
+
+        ``logpost`` must be JAX-traceable for each *static* k; ``theta`` is
+        the true-dimension slice.  ``init`` is the flat concatenated init
+        vector exactly as ``initAMSampler`` consumes it (automix.c:222-228).
+        """
+        inits = [None] * nmodels
+        if init is not None:
+            flat = np.asarray(init, dtype=np.float64)
+            off = 0
+            inits = []
+            for d in model_dims:
+                inits.append(flat[off:off + d].copy())
+                off += d
+        models = [
+            Model(name=f"{name}{k}", dim=int(model_dims[k]),
+                  logp=(lambda th, k=k: logpost(k, th)), init=inits[k])
+            for k in range(nmodels)
+        ]
+        return cls(models, dtype=dtype)
+
+    # -- padded evaluation ----------------------------------------------
+
+    def _branch(self, k: int):
+        m = self.models[k]
+
+        def branch(theta_pad):
+            lp = m.logp(theta_pad[: m.dim])
+            lp = jnp.asarray(lp, self.dtype)
+            # Sanitize non-finite values (reference models return -DBL_MAX /
+            # large negative sentinels for out-of-support states, e.g.
+            # usercpt.c:96, userrb9.c:82); NaNs would poison the MH ratio.
+            return jnp.where(jnp.isfinite(lp), lp, jnp.asarray(NEG_INF, self.dtype))
+
+        return branch
+
+    def logpost_padded(self, k, theta_pad):
+        """Scalar log-posterior at padded theta for traced model index k."""
+        branches = [self._branch(i) for i in range(self.nmodels)]
+        if self.nmodels == 1:
+            return branches[0](theta_pad)
+        return jax.lax.switch(k, branches, theta_pad)
+
+    def logpost_batch(self, k, theta_pad):
+        """Batched log-posterior: k [S], theta_pad [S, dmax] -> [S]."""
+        return jax.vmap(self.logpost_padded)(k, theta_pad)
+
+    def init_points(self, key) -> jnp.ndarray:
+        """[K, dmax] padded stage-1 start points (uniform draws where a
+        model provides none, mirroring automix.c:215-220)."""
+        out = np.zeros((self.nmodels, self.dmax), dtype=np.float64)
+        need_random = []
+        for i, m in enumerate(self.models):
+            if m.init is not None:
+                arr = np.asarray(m.init, dtype=np.float64).reshape(-1)
+                if arr.shape[0] != m.dim:
+                    raise ValueError(
+                        f"model {m.name}: init has length {arr.shape[0]}, expected {m.dim}")
+                out[i, : m.dim] = arr
+            else:
+                need_random.append(i)
+        result = jnp.asarray(out, self.dtype)
+        for i in need_random:
+            m = self.models[i]
+            sub = jax.random.fold_in(key, i)
+            u = jax.random.uniform(sub, (m.dim,), dtype=self.dtype)
+            result = result.at[i, : m.dim].set(u)
+        return result

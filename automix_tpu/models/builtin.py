@@ -1,0 +1,164 @@
+"""Built-in target distributions: the reference test-suite scenarios.
+
+Pure-JAX re-derivations of the nine targets in ``tests/test_automix.c``
+(reference lines cited per function): three 1-D direct samplers, three
+2-parameter inference problems over ten fixed observations, and three
+two-model RJMCMC model-selection problems.  These serve both as examples
+and as the engine's parity-test targets (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+from jax.scipy.special import gammaln
+
+from automix_tpu.config import NEG_INF
+from automix_tpu.model import Model, ModelSet
+
+# Ten fixed observations shared by the parameter-estimation targets
+# (tests/test_automix.c:38-40).
+DATA_SAMPLES = np.array([
+    0.50613293, 0.70961096, 0.28166951, 0.12532996, 0.46374168,
+    0.58337466, 0.52458217, 0.56052633, 0.57215576, 0.68698825,
+])
+
+
+# --- 1-D direct samplers ------------------------------------------------
+
+def logp_normal_sampler(theta):
+    """N(0.5, 1) up to a constant (tests/test_automix.c:256-263)."""
+    x = theta[0]
+    return -0.5 * (x - 0.5) ** 2
+
+
+def logp_truncnormal_sampler(theta):
+    """N(1, 1) truncated to (0, 10) (tests/test_automix.c:242-254)."""
+    x = theta[0]
+    lp = -0.5 * (x - 1.0) ** 2
+    return jnp.where((x > 0.0) & (x < 10.0), lp, NEG_INF)
+
+
+def logp_beta_sampler(theta):
+    """Beta(2, 2) (tests/test_automix.c:265-275)."""
+    x = theta[0]
+    a, b = 2.0, 2.0
+    inside = (x > 0.0) & (x < 1.0)
+    xs = jnp.where(inside, x, 0.5)   # keep log() finite off-support
+    lp = ((a - 1.0) * jnp.log(xs) + (b - 1.0) * jnp.log1p(-xs)
+          + gammaln(a + b) - gammaln(a) - gammaln(b))
+    return jnp.where(inside, lp, NEG_INF)
+
+
+# --- 2-parameter inference over DATA_SAMPLES ----------------------------
+
+def _make_params_targets(data):
+    data = jnp.asarray(data)
+    n = data.shape[0]
+
+    def logp_normal_params(theta):
+        """Normal(x0, sigma) likelihood of the data; theta = (sigma, x0)
+        (tests/test_automix.c:283-293).  The reference has no explicit
+        sigma > 0 guard, but its log(sigma) returns NaN for sigma <= 0 and
+        the NaN acceptance comparison always rejects — so sigma <= 0 is
+        effectively out of support; we guard explicitly (this matters: an
+        even |sigma| extension would double the model's evidence)."""
+        sigma, x0 = theta[0], theta[1]
+        ok = sigma > 0.0
+        ssafe = jnp.where(ok, sigma, 1.0)
+        ss = jnp.sum(-((data - x0) ** 2))
+        lp = -n * jnp.log(ssafe) + ss / (2.0 * ssafe * ssafe)
+        return jnp.where(ok, lp, NEG_INF)
+
+    def logp_beta_params(theta):
+        """Beta(alpha, beta) likelihood; theta = (alpha, beta)
+        (tests/test_automix.c:295-309)."""
+        a, b = theta[0], theta[1]
+        ok = (a > 0.0) & (b > 0.0)
+        asafe = jnp.where(ok, a, 1.0)
+        bsafe = jnp.where(ok, b, 1.0)
+        lp = jnp.sum((asafe - 1.0) * jnp.log(data)
+                     + (bsafe - 1.0) * jnp.log1p(-data))
+        lp = lp + n * (gammaln(asafe + bsafe) - gammaln(asafe) - gammaln(bsafe))
+        return jnp.where(ok, lp, NEG_INF)
+
+    def logp_gamma_params(theta):
+        """Gamma(alpha, beta) likelihood; theta = (alpha, beta)
+        (tests/test_automix.c:311-321).  The reference leaves the positivity
+        guard out here (NaNs rejected downstream); we guard explicitly."""
+        a, b = theta[0], theta[1]
+        ok = (a > 0.0) & (b > 0.0)
+        asafe = jnp.where(ok, a, 1.0)
+        bsafe = jnp.where(ok, b, 1.0)
+        lp = jnp.sum((asafe - 1.0) * jnp.log(data) - bsafe * data)
+        lp = lp + n * (asafe * jnp.log(bsafe) - gammaln(asafe))
+        return jnp.where(ok, lp, NEG_INF)
+
+    return logp_normal_params, logp_beta_params, logp_gamma_params
+
+
+logp_normal_params, logp_beta_params, logp_gamma_params = \
+    _make_params_targets(DATA_SAMPLES)
+
+
+# --- assembled ModelSets (the nine test scenarios) ----------------------
+
+def normal_sampler_set(**kw):
+    """Scenario 1 (tests/test_automix.c:49-54): mean 0.5, sigma 1.0."""
+    return ModelSet([Model("normal_sampler", 1, logp_normal_sampler,
+                           init=np.array([0.5]))], **kw)
+
+
+def truncnormal_sampler_set(**kw):
+    """Scenario 2 (tests/test_automix.c:56-61): mean~1.3, sigma~1.5 claimed;
+    support within (0, 10)."""
+    return ModelSet([Model("truncnormal_sampler", 1, logp_truncnormal_sampler,
+                           init=np.array([1.0]))], **kw)
+
+
+def beta_sampler_set(**kw):
+    """Scenario 3 (tests/test_automix.c:63-68): mean 0.5."""
+    return ModelSet([Model("beta_sampler", 1, logp_beta_sampler,
+                           init=np.array([0.5]))], **kw)
+
+
+def normal_params_set(**kw):
+    """Scenario 4 (tests/test_automix.c:70-76): E[sigma]~0.2, E[x0]~0.5."""
+    return ModelSet([Model("normal_params", 2, logp_normal_params,
+                           init=np.array([0.5, 0.5]))], **kw)
+
+
+def beta_params_set(**kw):
+    """Scenario 5 (tests/test_automix.c:78-84): E[alpha]~4.5, E[beta]~5.0."""
+    return ModelSet([Model("beta_params", 2, logp_beta_params,
+                           init=np.array([2.0, 2.0]))], **kw)
+
+
+def gamma_params_set(**kw):
+    """Scenario 6 (tests/test_automix.c:86-92): E[alpha]~7.0, E[beta]~14.5."""
+    return ModelSet([Model("gamma_params", 2, logp_gamma_params,
+                           init=np.array([9.0, 2.0]))], **kw)
+
+
+def gamma_beta_set(**kw):
+    """Scenario 7 (tests/test_automix.c:94-103): p(M=Gamma)~0.37."""
+    return ModelSet([
+        Model("gamma", 2, logp_gamma_params, init=np.array([9.0, 2.0])),
+        Model("beta", 2, logp_beta_params, init=np.array([2.0, 2.0])),
+    ], **kw)
+
+
+def normal_beta_set(**kw):
+    """Scenario 8 (tests/test_automix.c:105-114): p(M=Normal)~0.95."""
+    return ModelSet([
+        Model("normal", 2, logp_normal_params, init=np.array([0.5, 0.5])),
+        Model("beta", 2, logp_beta_params, init=np.array([2.0, 2.0])),
+    ], **kw)
+
+
+def normal_gamma_set(**kw):
+    """Scenario 9 (tests/test_automix.c:116-125): p(M=Normal)~0.97."""
+    return ModelSet([
+        Model("normal", 2, logp_normal_params, init=np.array([0.5, 0.5])),
+        Model("gamma", 2, logp_gamma_params, init=np.array([9.0, 2.0])),
+    ], **kw)

@@ -1,0 +1,178 @@
+"""The AMSampler: public orchestration of the three-stage pipeline.
+
+Mirrors the reference's five-function API (automix.h:86-100):
+
+=====================================  ====================================
+reference                              engine
+=====================================  ====================================
+``initAMSampler``                      ``AMSampler(models, config)``
+``estimate_conditional_probs``         ``AMSampler.estimate_conditional_probs``
+``burn_samples``                       ``AMSampler.burn_samples``
+``rjmcmc_samples``                     ``AMSampler.rjmcmc_samples``
+``freeAMSampler``                      (garbage collection)
+=====================================  ====================================
+
+Stage 3 runs as a host loop over jit-compiled ``lax.scan`` chunks
+(cfg.sweep_chunk sweeps per dispatch), with visit counters and moment sums
+accumulated on host in 64-bit — the redesign of the reference's
+realloc-growing ``theta_summary`` capture (automix.c:100-130) noted in
+SURVEY.md section 7 step 5.  Like the reference, the chain continues across
+``burn_samples``/``rjmcmc_samples`` calls via the global sweep counter
+(automix.c:90,145).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from automix_tpu.config import EngineConfig
+from automix_tpu.kernels import em, rjmcmc, rwm
+from automix_tpu.model import Model, ModelSet
+from automix_tpu.parallel import mesh as mesh_lib
+from automix_tpu.state import Chains, CondProbStats, Proposal, RunStats
+
+
+class AMSampler:
+    """TPU-native automatic RJMCMC sampler over a set of models."""
+
+    def __init__(self, models: Union[ModelSet, Sequence[Model]],
+                 config: Optional[EngineConfig] = None,
+                 mesh=None, **overrides):
+        if config is None:
+            config = EngineConfig(**overrides)
+        elif overrides:
+            import dataclasses
+            config = dataclasses.replace(config, **overrides)
+        self.cfg = config
+        self.modelset = (models if isinstance(models, ModelSet)
+                         else ModelSet(models, dtype=config.dtype))
+        self.mesh = mesh
+        self.key = jax.random.PRNGKey(config.seed)
+        self.proposal: Optional[Proposal] = None
+        self.chains: Optional[Chains] = None
+        self.cpstats = CondProbStats()
+        self.stats: Optional[RunStats] = None
+        self._runners = {}
+
+    # -- internals --------------------------------------------------------
+
+    def _next_key(self):
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    def _runner(self, burning: bool, collect: bool):
+        kk = (burning, collect)
+        if kk not in self._runners:
+            self._runners[kk] = rjmcmc.build_chunk_runner(
+                self.modelset, self.cfg, burning=burning, collect=collect)
+        return self._runners[kk]
+
+    def _ensure_proposal(self):
+        # The reference auto-runs stage 1+2 with 100000 sweeps if stage 3 is
+        # entered without them (automix.c:79-81, 137-139).
+        if self.proposal is None:
+            self.estimate_conditional_probs()
+
+    def _ensure_chains(self):
+        if self.chains is None:
+            self.chains = rjmcmc.init_chains(
+                self.modelset, self.cfg, self._next_key())
+            if self.mesh is not None:
+                self.chains = mesh_lib.shard_chains(self.chains, self.mesh)
+                self.proposal = mesh_lib.replicate(self.proposal, self.mesh)
+
+    def _run_sweeps(self, nsweeps: int, burning: bool, collect: bool,
+                    stats: Optional[RunStats]):
+        runner = self._runner(burning, collect)
+        chunk_len = self.cfg.sweep_chunk
+        done = 0
+        while done < nsweeps:
+            n = min(chunk_len, nsweeps - done)
+            self.chains, chunk = runner(self.chains, self.proposal, n)
+            if stats is not None:
+                chunk = jax.device_get(chunk)
+                stats.absorb_chunk(chunk)
+            done += n
+        jax.block_until_ready(self.chains.theta)
+
+    # -- public API -------------------------------------------------------
+
+    def estimate_conditional_probs(self, nsweep2: Optional[int] = None,
+                                   n_chains_stage1: Optional[int] = None):
+        """Stages 1+2: adapt within-model RWM scales and fit the Normal
+        mixture proposals (``estimate_conditional_probs``,
+        automix.c:157-195).
+
+        ``nsweep2`` counts stage-1 adaptation sweeps.  The engine pools
+        acceptance statistics across ``n_chains_stage1`` chains per model,
+        so its default (cfg.stage1_sweeps) is far below the reference's
+        single-chain 100000 while observing orders of magnitude more
+        proposals.
+        """
+        t0 = time.perf_counter()
+        nsweeps = nsweep2 if nsweep2 is not None else self.cfg.stage1_sweeps
+        sig, samples, tele = rwm.run_stage1(
+            self.modelset, self.cfg, self._next_key(), nsweeps,
+            n_chains_per_model=n_chains_stage1)
+        self.proposal, em_tele = em.fit_proposal(
+            self.modelset, self.cfg, samples, sig, self._next_key())
+        jax.block_until_ready(self.proposal.lam)
+        self.cpstats.sig_trace = np.asarray(tele["sig_trace"])
+        self.cpstats.accept_trace = np.asarray(tele["accept_trace"])
+        if "em_trace" in em_tele:
+            self.cpstats.em_trace = jax.device_get(em_tele["em_trace"])
+            self.cpstats.em_iters = np.asarray(em_tele["em_iters"])
+        self.cpstats.timesecs_condprobs = time.perf_counter() - t0
+        self.cpstats.initialized = True
+        self._stage1_samples = samples
+        return self.proposal
+
+    def set_proposal(self, proposal: Proposal):
+        """Install externally supplied proposal parameters (the engine's
+        mode-1 path: ``read_mixture_params``, logwrite.c:27-109)."""
+        self.proposal = proposal
+        self.cpstats.initialized = True
+
+    def burn_samples(self, nsweeps: int):
+        """Burn-in sweeps: pk adaptation off (``burn_samples``,
+        automix.c:135-155)."""
+        t0 = time.perf_counter()
+        self._ensure_proposal()
+        self._ensure_chains()
+        self._run_sweeps(nsweeps, burning=True, collect=False, stats=None)
+        if self.stats is None:
+            self.stats = RunStats(self.modelset.nmodels, self.modelset.dmax)
+        self.stats.timesecs_burn += time.perf_counter() - t0
+
+    def rjmcmc_samples(self, nsweeps: int, collect: Optional[bool] = None) -> RunStats:
+        """Production RJMCMC sweeps (``rjmcmc_samples``, automix.c:77-133).
+
+        Returns the accumulated RunStats (visit counts, per-model moment
+        sums, acceptance counters, and — when ``collect`` — per-sweep traces
+        of a chain subset for diagnostics).
+        """
+        t0 = time.perf_counter()
+        self._ensure_proposal()
+        self._ensure_chains()
+        if self.stats is None:
+            self.stats = RunStats(self.modelset.nmodels, self.modelset.dmax)
+        stats = self.stats
+        stats.n_chains = self.chains.n_chains
+        if collect is None:
+            collect = self.cfg.trace_chain0
+        self._run_sweeps(nsweeps, burning=False, collect=collect, stats=stats)
+        stats.nsweeps += nsweeps
+        stats.timesecs_rjmcmc += time.perf_counter() - t0
+        return stats
+
+    # -- convenience ------------------------------------------------------
+
+    def model_probs(self) -> np.ndarray:
+        if self.stats is None:
+            raise RuntimeError("run rjmcmc_samples first")
+        return self.stats.model_probs

@@ -1,0 +1,54 @@
+"""Stage-1 adaptive RWM: adapted scales and sample quality."""
+
+import jax
+import numpy as np
+
+from automix_tpu.config import EngineConfig
+from automix_tpu.kernels import rwm
+from automix_tpu.models import builtin
+
+
+def test_stage1_normal_sampler_moments():
+    ms = builtin.normal_sampler_set()
+    cfg = EngineConfig(n_chains_stage1=256, stage1_sweeps=600)
+    key = jax.random.PRNGKey(0)
+    sig, samples, tele = rwm.run_stage1(ms, cfg, key, 600)
+    assert sig.shape == (1, 1)
+    assert samples.shape == (1, 256, 1)
+    x = np.asarray(samples[0, :, 0])
+    # target N(0.5, 1): loose MC tolerances on 256 draws
+    assert abs(x.mean() - 0.5) < 0.25
+    assert abs(x.std() - 1.0) < 0.25
+    # sig adapted away from its 10.0 init toward a sane RW scale
+    assert 0.5 < float(sig[0, 0]) < 8.0
+
+
+def test_stage1_multi_model_masks_padding():
+    ms = builtin.gamma_beta_set()
+    cfg = EngineConfig(n_chains_stage1=128, stage1_sweeps=400)
+    sig, samples, tele = rwm.run_stage1(ms, cfg, jax.random.PRNGKey(1), 400)
+    assert sig.shape == (2, 2)
+    assert samples.shape == (2, 128, 2)
+    s = np.asarray(samples)
+    assert np.all(np.isfinite(s))
+    # Gamma model: alpha,beta positive posterior mass
+    assert s[0, :, 0].mean() > 0
+    # acceptance telemetry in [0, 1]
+    acc = np.asarray(tele["accept_trace"])
+    assert np.all((acc >= 0) & (acc <= 1))
+
+
+def test_stage1_respects_different_dims():
+    import jax.numpy as jnp
+    from automix_tpu.model import Model, ModelSet
+    ms = ModelSet([
+        Model("d1", 1, lambda th: -0.5 * th[0] ** 2, init=np.array([0.0])),
+        Model("d3", 3, lambda th: -0.5 * jnp.sum(th ** 2),
+              init=np.zeros(3)),
+    ])
+    cfg = EngineConfig(n_chains_stage1=64, stage1_sweeps=300)
+    sig, samples, _ = rwm.run_stage1(ms, cfg, jax.random.PRNGKey(2), 300)
+    # model 0 is 1-D: padded coords must remain exactly 0
+    assert np.all(np.asarray(samples[0, :, 1:]) == 0.0)
+    # padded sig coords never updated from their 10.0 init
+    assert np.all(np.asarray(sig[0, 1:]) == 10.0)
