@@ -1,0 +1,88 @@
+"""Run diagnostics: Sokal integrated autocorrelation time.
+
+The reference estimates the IACT of the model-index trace with Sokal's
+adaptive truncated periodogram over a hand-rolled radix-4 FFT
+(``sokal``, logwrite.c:354-403; FFT logwrite.c:405-651; called at
+logwrite.c:228 on ``nkeep = 2^min(15, log2(nsweep/2))`` thinned samples,
+automix.c:367-370).  Note the reference's convention: tau is the sum of the
+autocorrelation function over all lags (twice Sokal's usual definition,
+logwrite.c:8-11).
+
+Here the FFT is ``jnp.fft`` and the estimator is vectorized over many
+chains' traces — the engine reports a cross-chain IACT distribution where
+the reference reports one number.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def sokal_iact(x):
+    """IACT of one series [n] (n >= 4).  Returns (tau, var, m, rho).
+
+    Mirrors logwrite.c:354-403: power spectrum with DC removed, transformed
+    back to autocovariances, then Sokal's adaptive truncation: stop at the
+    first lag i where  -1/3 + sum_{j<=i}(rho_j - 1/6) < 0, with
+    tau = 2*(sum + i/6) and m = i + 1 retained coefficients.
+    """
+    x = jnp.asarray(x, jnp.float32)
+    n = x.shape[-1]
+    f = jnp.fft.fft(x)
+    p = jnp.abs(f) ** 2
+    p = p.at[..., 0].set(0.0)           # remove DC (mean), logwrite.c:377
+    # The reference applies its *forward* transform twice; for the real,
+    # symmetric power spectrum that equals n * ifft, so autocovariances
+    # match up to the same scale.
+    a = jnp.real(jnp.fft.fft(p))
+    var = a[..., 0] / (n * (n - 1.0))   # logwrite.c:380
+    rho = a / jnp.maximum(a[..., 0:1], 1e-30)
+    partial = jnp.cumsum(rho - 1.0 / 6.0, axis=-1) - 1.0 / 3.0
+    hit = partial < 0.0
+    any_hit = jnp.any(hit, axis=-1)
+    first = jnp.argmax(hit, axis=-1)
+    i = jnp.where(any_hit, first, n - 1)
+    s_i = jnp.take_along_axis(partial, i[..., None], axis=-1)[..., 0]
+    tau = 2.0 * (s_i + i / 6.0)
+    m = i + 1
+    return tau, var, m, rho
+
+
+def sokal_batched(traces):
+    """IACT over a [nsweep, n_chains] batch of model-index traces.
+
+    Returns dict with per-chain tau plus summary stats.  The series length
+    is truncated to the largest power of two (the reference's nkeep
+    discipline, automix.c:367-370), capped at 2^20 (logwrite.c:359).
+    """
+    traces = np.asarray(traces, np.float32)
+    if traces.ndim == 1:
+        traces = traces[:, None]
+    n = traces.shape[0]
+    nkeep = 1 << min(20, int(np.log2(max(n, 4))))
+    x = jnp.asarray(traces[n - nkeep:].T)          # [n_chains, nkeep]
+    tau, var, m, rho = jax.jit(sokal_iact)(x)
+    tau = np.asarray(tau)
+    return {
+        "tau": tau,
+        "tau_mean": float(tau.mean()),
+        "tau_median": float(np.median(tau)),
+        "var": np.asarray(var),
+        "m": np.asarray(m),
+        "rho": np.asarray(rho),
+        "nkeep": nkeep,
+    }
+
+
+def acceptance_rates(stats):
+    """Acceptance-rate summary, the `_log.data` block (logwrite.c:334-339)."""
+    def rate(a, b):
+        return a / b if b else float("nan")
+
+    return {
+        "block_rwm": rate(stats.naccrwmb, stats.ntryrwmb),
+        "single_rwm": rate(stats.naccrwms, stats.ntryrwms),
+        "rj": rate(stats.nacctd, stats.ntrytd),
+    }

@@ -262,6 +262,25 @@ def build_chunk_runner(modelset: ModelSet, cfg: EngineConfig, burning: bool,
     return runner
 
 
+def build_single_sweep(modelset: ModelSet, cfg: EngineConfig,
+                       burning: bool = False):
+    """Unjitted one-sweep step ``step(chains, prop) -> chains`` over the
+    full chain batch — the engine's compile-checkable "forward step"."""
+    sweep_chain = build_chain_sweep(modelset, cfg, burning)
+    vmapped = jax.vmap(sweep_chain,
+                       in_axes=(0, 0, 0, 0, 0, 0, 0, None, None))
+
+    def step(chains: Chains, prop: Proposal) -> Chains:
+        k, theta, logp, pk, pkllim, nreinit, _ = vmapped(
+            chains.key, chains.k, chains.theta, chains.logp, chains.pk,
+            chains.pkllim, chains.nreinit, chains.sweep, prop)
+        return chains.replace(k=k, theta=theta, logp=logp, pk=pk,
+                              pkllim=pkllim, nreinit=nreinit,
+                              sweep=chains.sweep + 1)
+
+    return step
+
+
 def init_chains(modelset: ModelSet, cfg: EngineConfig, key,
                 n_chains: Optional[int] = None) -> Chains:
     """Initialize the chain batch — ``initChain`` (automix.c:423-449) with a

@@ -1,0 +1,196 @@
+"""DDI AIDS clinical-trial model choice (thesis section 5.5.4, Han & Carlin
+2001).
+
+Re-derivation of ``userddi.c``: two longitudinal random-effects models for
+467 patients' sqrt-CD4 counts over up to 5 visits.
+
+* Model 0 (dim 16): fixed effects alpha[9], the lower triangle of the 3x3
+  random-effects precision V^-1 (6 entries, packed at theta[9+j(j+1)/2+i],
+  userddi.c:271-276), and error variance sigma^2 at theta[15].
+* Model 1 (dim 10): gamma[6], the 2x2 precision U^-1 (3 entries), tau^2.
+
+Priors (userddi.c:471-531): independent Normals on the fixed effects,
+Wishart(rho=24, R) on the precision, InvGamma(a=3, b=0.005) on the error
+variance.  Likelihood (userddi.c:533-670): per-patient marginal MVN with
+covariance C_i = W_i V W_i^T + sigma^2 I over the patient's S_i observed
+visits (missing visits are compacted out of the bundled design tensors).
+Non-positive-definite precisions / variances reject with lp = -1e7
+(userddi.c:295, 381).
+
+The C code loops patients and re-factorizes a <=5x5 covariance per patient
+per evaluation; here all 467 patients are one batched Cholesky +
+triangular-solve over padded [467, 5, 5] covariances (padding rows carry an
+identity tail, so they contribute nothing).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from scipy.special import gammaln as np_gammaln
+
+from automix_tpu.model import Model, ModelSet
+from automix_tpu.ops import linalg
+
+_DATA_PATH = os.path.join(os.path.dirname(__file__), "ddi_data.npz")
+
+# hyperparameters (userddi.c:21-29)
+A_HYP, B_HYP, RHO = 3.0, 0.005, 24
+C0 = np.array([10.0, 0.0, 0.0, 0.0, 0.0, 0.0, -3.0, 0.0, 0.0])
+C1 = np.array([10.0, 0.0, 0.0, 0.0, -3.0, 0.0])
+D0MIN1 = np.array([0.25, 1.0, 1.0, 100.0, 1.0, 1.0, 1.0, 1.0, 1.0])
+D1MIN1 = np.array([0.25, 1.0, 100.0, 1.0, 1.0, 1.0])
+R0_DIAG = np.array([4.0, 1.0 / 16.0, 1.0 / 16.0])
+R1_DIAG = np.array([4.0, 1.0 / 16.0])
+REJECT = -1e7
+
+_LOG_2PI = 1.8378770664093453
+
+
+def _load_data():
+    z = np.load(_DATA_PATH)
+    S = z["S"].astype(np.int32)
+    counts = z["counts"]
+    n, vmax = counts.shape
+    visit_mask = (np.arange(vmax)[None, :] < S[:, None])
+    # Observed responses: sqrt counts, compacted per patient like the C's
+    # Y[i][j] < 90 filter (userddi.c:593-599; sentinel 9999 -> ~100).
+    Y = np.zeros((n, vmax))
+    for i in range(n):
+        vals = np.sqrt(counts[i][np.sqrt(counts[i]) < 90.0])
+        assert len(vals) == S[i], (i, len(vals), S[i])
+        Y[i, : S[i]] = vals
+    # Zero the padded rows of the design tensors (the header stores -10
+    # sentinels there).
+    W = z["W"] * visit_mask[:, :, None]
+    X = z["X"] * visit_mask[:, :, None]
+    Q = z["Q"] * visit_mask[:, :, None]
+    P = z["P"] * visit_mask[:, :, None]
+    return dict(S=S, Y=Y, W=W, X=X, Q=Q, P=P, visit_mask=visit_mask)
+
+
+def _wishart_const(d: int, r_diag):
+    """Constant part of the Wishart log-density (userddi.c:493-498):
+    -(rho/2) log(rho^-d det R^-1) - (rho d/2) log 2 - (d(d-1)/4) log pi
+    - sum_j loggamma((rho - j)/2)."""
+    det_rmin1 = float(np.prod(1.0 / r_diag))
+    c = -(RHO / 2.0) * np.log(RHO ** (-d) * det_rmin1)
+    c -= (RHO * d / 2.0) * np.log(2.0)
+    c -= (d * (d - 1) / 4.0) * np.log(np.pi)
+    for j in range(d):
+        c -= float(np_gammaln((RHO - j) / 2.0))
+    return c
+
+
+def _tri_unpack(vals, d):
+    """Symmetric matrix from packed lower-triangle values (userddi.c:271-276)."""
+    m = jnp.zeros((d, d), vals.dtype)
+    idx = 0
+    for j1 in range(d):
+        for j2 in range(j1 + 1):
+            m = m.at[j1, j2].set(vals[idx])
+            m = m.at[j2, j1].set(vals[idx])
+            idx += 1
+    return m
+
+
+def _make_logp(data, design, fixed, d_re, n_fix, c_prior, dmin1, r_diag,
+               var_idx, re_off, dtype=jnp.float32):
+    """Common log-posterior for both DDI models.
+
+    design: [467, 5, d_re] random-effects design (W or Q);
+    fixed: [467, 5, n_fix] fixed-effects design (X or P).
+    """
+    S = jnp.asarray(data["S"])
+    Y = jnp.asarray(data["Y"], dtype)
+    vmask = jnp.asarray(data["visit_mask"], dtype)
+    Wd = jnp.asarray(design, dtype)
+    Xd = jnp.asarray(fixed, dtype)
+    c_prior = jnp.asarray(c_prior, dtype)
+    dmin1 = jnp.asarray(dmin1, dtype)
+    r_diag_j = jnp.asarray(r_diag, dtype)
+    wish_const = _wishart_const(d_re, r_diag)
+    norm_const = 0.5 * float(np.sum(np.log(dmin1))) \
+        - (n_fix / 2.0) * np.log(2.0 * np.pi)
+    ig_const = -A_HYP * np.log(B_HYP) - float(np_gammaln(A_HYP))
+    n_pat, vmax = Y.shape
+
+    def logp(theta):
+        fixed_fx = theta[:n_fix]
+        ntri = d_re * (d_re + 1) // 2
+        prec = _tri_unpack(theta[re_off: re_off + ntri], d_re)   # V^-1 / U^-1
+        var = theta[var_idx]                                     # sigma^2/tau^2
+
+        ok = var > 0.0
+        vsafe = jnp.where(ok, var, 1.0)
+
+        # posdef check + matrix sqrt of the precision (userddi.c:355-414)
+        L = jnp.linalg.cholesky(prec)
+        posdef = jnp.all(jnp.isfinite(L))
+        Lsafe = jnp.where(posdef, jnp.nan_to_num(L, nan=0.0),
+                          jnp.eye(d_re, dtype=dtype))
+        # V = (L^-1)^T (L^-1) (userddi.c:416-469)
+        Linv = jax.scipy.linalg.solve_triangular(
+            Lsafe, jnp.eye(d_re, dtype=dtype), lower=True)
+        V = Linv.T @ Linv
+        log_det_prec = 2.0 * jnp.sum(jnp.log(jnp.abs(jnp.diagonal(Lsafe))))
+
+        # prior (userddi.c:471-531)
+        lp = norm_const - 0.5 * jnp.sum(
+            (fixed_fx - c_prior) ** 2 * dmin1)
+        lp = lp + ((RHO - d_re - 1.0) / 2.0) * log_det_prec
+        lp = lp - 0.5 * RHO * jnp.sum(r_diag_j * jnp.diagonal(prec))
+        lp = lp + wish_const
+        lp = lp + (-(A_HYP + 1.0) * jnp.log(vsafe) - 1.0 / (B_HYP * vsafe)
+                   + ig_const)
+
+        # likelihood: batched marginal MVN over all patients
+        # C_i = W_i V W_i^T + var * I on observed visits, identity tail
+        WV = jnp.einsum("nvr,rs->nvs", Wd, V)
+        C = jnp.einsum("nvs,nws->nvw", WV, Wd)
+        pairmask = vmask[:, :, None] * vmask[:, None, :]
+        eye = jnp.eye(vmax, dtype=dtype)
+        C = C * pairmask + var * vmask[:, :, None] * eye \
+            + (1.0 - vmask[:, :, None]) * eye
+        Lc = jnp.linalg.cholesky(C)
+        lik_ok = jnp.all(jnp.isfinite(Lc))
+        Lc = jnp.where(lik_ok, jnp.nan_to_num(Lc, nan=0.0),
+                       jnp.broadcast_to(eye, C.shape))
+        mu = jnp.einsum("nvf,f->nv", Xd, fixed_fx)
+        resid = (Y - mu) * vmask
+        w = linalg.forward_substitute(Lc, resid)
+        quad = jnp.sum(w * w, axis=-1)
+        logdet = jnp.sum(jnp.log(jnp.abs(
+            jnp.diagonal(Lc, axis1=-2, axis2=-1))), axis=-1)
+        sdim = S.astype(dtype)
+        llh = jnp.sum(-0.5 * quad - 0.5 * sdim * _LOG_2PI - logdet)
+
+        good = ok & posdef & lik_ok
+        return jnp.where(good, lp + llh, REJECT)
+
+    return logp
+
+
+def ddi_set(dtype=jnp.float32, **kw) -> ModelSet:
+    data = _load_data()
+
+    logp0 = _make_logp(data, data["W"], data["X"], d_re=3, n_fix=9,
+                       c_prior=C0, dmin1=D0MIN1, r_diag=R0_DIAG,
+                       var_idx=15, re_off=9, dtype=dtype)
+    logp1 = _make_logp(data, data["Q"], data["P"], d_re=2, n_fix=6,
+                       c_prior=C1, dmin1=D1MIN1, r_diag=R1_DIAG,
+                       var_idx=9, re_off=6, dtype=dtype)
+
+    # Deterministic stage-1 starts at the prior centers (the reference draws
+    # random starts near these, userddi.c:52-193): precisions at identity,
+    # error variance at 100 (userddi.c:75,142).
+    init0 = np.concatenate([C0, [1.0, 0.0, 1.0, 0.0, 0.0, 1.0], [100.0]])
+    init1 = np.concatenate([C1, [1.0, 0.0, 1.0], [100.0]])
+
+    return ModelSet([
+        Model("ddi_full", 16, logp0, init=init0),
+        Model("ddi_reduced", 10, logp1, init=init1),
+    ], dtype=dtype, **kw)

@@ -1,0 +1,114 @@
+"""Tumour-count model selection (thesis section 5.5.3, Haigis & Dove).
+
+Re-derivation of ``userrb9.c``: 66 tumour counts from 4 mouse groups; ten
+models choosing, per group, Poisson vs Negative-Binomial and shared vs
+distinct rates lambda / over-dispersions kappa, encoded by per-model index
+maps (userrb9.c:90-141).  Gamma priors on all positive parameters;
+negative parameters hard-rejected (userrb9.c:79-84).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+from jax.scipy.special import gammaln
+from scipy.special import gammaln as np_gammaln
+
+from automix_tpu.model import Model, ModelSet
+
+# userrb9.c:72-77: counts for the 4 groups, concatenated
+X_DATA = np.array([
+    121, 169, 112, 199, 80, 121, 194, 140, 131, 199, 262,
+    121, 140, 166, 150, 103, 5, 15, 13, 9, 15, 13,
+    13, 9, 18, 12, 8, 7, 16, 11, 12, 8, 14,
+    12, 20, 12, 8, 11, 10, 10, 10, 7, 8, 7,
+    8, 10, 11, 7, 4, 6, 9, 7, 5, 7, 3,
+    7, 4, 11, 15, 10, 6, 10, 6, 12, 6, 11], dtype=np.float64)
+N_OBS = [16, 17, 15, 18]    # userrb9.c:85-88
+GROUPS = np.repeat(np.arange(4), N_OBS)
+
+# hyperparameters (userrb9.c:15)
+ALPHA1, ALPHA2, BETA1, BETA2 = 2.0, 1.0, 0.1, 2.0
+
+# per-model structure (userrb9.c:90-141)
+N_LAMBDA = [3, 3, 3, 3, 3, 3, 3, 4, 4, 4]
+N_KAPPA = [1, 1, 1, 1, 1, 1, 2, 1, 1, 1]
+
+
+def _pindic(k):
+    """Which groups are Negative-Binomial (1) vs Poisson (0)
+    (userrb9.c:102-114)."""
+    p = [1, 0, 0, 1]
+    if k in (3, 9):
+        p[1] = 1
+    if k in (2, 9):
+        p[2] = 1
+    if k in (0, 4, 7):
+        p[3] = 0
+    return p
+
+
+def _lambda_map(k):
+    """theta index of each group's rate (userrb9.c:116-127)."""
+    lam_idx = [0, 1, None, None]
+    lam_idx[2] = 1 if (k < 4 or k == 6) else 2
+    lam_idx[3] = 2 if k < 7 else 3
+    return lam_idx
+
+
+def _kappa_map(k):
+    """theta index of each group's over-dispersion (userrb9.c:128-141)."""
+    k0 = 3 if k < 7 else 4
+    kap_idx = [k0, k0, k0, k0]
+    if k == 6:
+        kap_idx[3] = 4
+    return kap_idx
+
+
+def rb9_set(**kw) -> ModelSet:
+    x = jnp.asarray(X_DATA, jnp.float32)
+    lgx1 = jnp.asarray(np_gammaln(X_DATA + 1.0), jnp.float32)
+    groups = jnp.asarray(GROUPS)
+
+    models = []
+    for k in range(10):
+        ql, qk = N_LAMBDA[k], N_KAPPA[k]
+        dim = ql + qk
+        pindic = _pindic(k)
+        lam_idx = np.array(_lambda_map(k))
+        kap_idx = np.array(_kappa_map(k))
+
+        def logp(theta, ql=ql, qk=qk, pindic=tuple(pindic),
+                 lam_idx=lam_idx, kap_idx=kap_idx, dim=dim):
+            ok = jnp.all(theta[:dim] > 0.0)         # userrb9.c:79-84
+            th = jnp.where(jnp.arange(theta.shape[0]) < dim,
+                           jnp.where(theta > 0, theta, 1.0), 1.0)
+            # prior (userrb9.c:143-152)
+            lp = 0.0
+            for i in range(ql):
+                lp = lp + (ALPHA1 * np.log(BETA1)
+                           + (ALPHA1 - 1.0) * jnp.log(th[i]) - BETA1 * th[i]
+                           - float(np_gammaln(ALPHA1)))
+            for i in range(ql, ql + qk):
+                lp = lp + (ALPHA2 * np.log(BETA2)
+                           + (ALPHA2 - 1.0) * jnp.log(th[i]) - BETA2 * th[i]
+                           - float(np_gammaln(ALPHA2)))
+            # likelihood (userrb9.c:154-179), vectorized per group
+            lam_g = th[jnp.asarray(lam_idx)][groups]     # [66]
+            kap_g = th[jnp.asarray(kap_idx)][groups]     # [66]
+            is_nb = jnp.asarray(np.asarray(pindic, np.float32))[groups]
+            pois = -lam_g + x * jnp.log(lam_g) - lgx1
+            km1 = 1.0 / kap_g
+            nb = (x * jnp.log(lam_g) + gammaln(x + km1) - lgx1
+                  + km1 * jnp.log(km1) - gammaln(km1)
+                  - (x + km1) * jnp.log(lam_g + km1))
+            llh = jnp.sum(jnp.where(is_nb > 0, nb, pois))
+            return jnp.where(ok, lp + llh, -1e6)
+
+        # log-normal random inits in the reference (userrb9.c:35-60);
+        # deterministic prior-scale points serve the same purpose.
+        init = np.empty(dim)
+        init[:ql] = 43.87879
+        init[ql:] = 2.152937
+        models.append(Model(f"rb9_k{k + 1}", dim, logp, init=init))
+    return ModelSet(models, **kw)

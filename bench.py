@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Benchmark: aggregate stage-3 RJMCMC sweep throughput on the flagship
+(tutorial 3-model) target.
+
+Metric: chain-sweeps per second of the production reversible-jump loop —
+the quantity SURVEY.md section 3.3 marks as the metric loop, and the axis
+(many parallel chains) on which this engine scales where the reference
+cannot (single chain, automix.c:90-125).
+
+Baseline: the reference C library runs the *same* tutorial target at
+906,047 stage-3 sweeps/s single-threaded (cc -O3, measured on this image's
+host CPU via a harness linking /root/reference's libautomix: 210,000
+burn+main sweeps in 0.232 s self-timed with clock()).  vs_baseline is
+aggregate engine throughput over that number.
+
+Prints one JSON line:
+  {"metric": ..., "value": N, "unit": "sweeps/s", "vs_baseline": N}
+"""
+
+import json
+import time
+
+import jax
+import numpy as np
+
+C_REFERENCE_SWEEPS_PER_S = 906_047.0
+
+# Published reference posteriors for the tutorial target
+# (reference docs/tutorial.rst:255-259) — used as a parity guard.
+TUTORIAL_PROBS = np.array([0.7928, 0.0239, 0.1834])
+
+
+def main():
+    from automix_tpu.config import EngineConfig
+    from automix_tpu.models.tutorial import tutorial_set
+    from automix_tpu.sampler import AMSampler
+
+    n_chains = 8192
+    cfg = EngineConfig(
+        n_chains=n_chains, n_chains_stage1=1024, stage1_sweeps=2000,
+        sweep_chunk=1000, seed=0, trace_chain0=False, n_trace_chains=1)
+    am = AMSampler(tutorial_set(), cfg)
+
+    # stages 1+2 (untimed adaptation) + warmup of the stage-3 runner
+    am.estimate_conditional_probs()
+    am.burn_samples(1000)
+    am.rjmcmc_samples(1000, collect=False)     # warmup/compile
+
+    nsweeps = 20_000
+    t0 = time.perf_counter()
+    stats = am.rjmcmc_samples(nsweeps, collect=False)
+    elapsed = time.perf_counter() - t0
+
+    value = n_chains * nsweeps / elapsed
+
+    # parity guard (stderr note only; the JSON line stays single-metric)
+    probs = stats.model_probs
+    err = float(np.abs(probs - TUTORIAL_PROBS).max())
+    import sys
+    print(f"# parity: p(M)={np.round(probs, 4).tolist()} "
+          f"(ref {TUTORIAL_PROBS.tolist()}), max err {err:.4f}; "
+          f"{elapsed:.2f}s for {nsweeps} sweeps x {n_chains} chains on "
+          f"{jax.devices()[0].platform}", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "aggregate RJMCMC stage-3 sweeps/s (tutorial target)",
+        "value": round(value, 1),
+        "unit": "sweeps/s",
+        "vs_baseline": round(value / C_REFERENCE_SWEEPS_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

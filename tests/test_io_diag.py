@@ -1,0 +1,102 @@
+"""IO (mix-file round trip, reports) and diagnostics (Sokal IACT) tests."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from automix_tpu import diagnostics
+from automix_tpu.config import EngineConfig
+from automix_tpu.io import mixfile, reports
+from automix_tpu.models import builtin
+from automix_tpu.sampler import AMSampler
+
+DATA_DIR = os.path.join(os.path.dirname(__file__), "data")
+
+
+def test_read_c_oracle_mix_file():
+    """Parse a _mix.data written by the reference C program (amtoy1 run)."""
+    path = os.path.join(DATA_DIR, "toy1_mix_c_oracle.data")
+    prop = mixfile.read_mix_file(path, model_dims=[1, 2], lmax=30, dmax=2)
+    assert prop.lam.shape == (2, 30)
+    nmix = np.asarray(prop.nmix)
+    lam = np.asarray(prop.lam)
+    assert nmix[0] >= 1 and nmix[1] >= 1
+    np.testing.assert_allclose(lam.sum(axis=1), 1.0, atol=1e-5)
+    # dead slots zeroed
+    for k in range(2):
+        assert np.all(lam[k, nmix[k]:] == 0.0)
+    # logdet consistent with B diagonal over true dims
+    B = np.asarray(prop.B)
+    ld = np.asarray(prop.logdetB)
+    for k, d in enumerate([1, 2]):
+        for l in range(nmix[k]):
+            want = np.log(np.abs(np.diag(B[k, l])[:d])).sum()
+            np.testing.assert_allclose(ld[k, l], want, atol=1e-4)
+
+
+def test_mix_file_round_trip(tmp_path):
+    path = os.path.join(DATA_DIR, "toy1_mix_c_oracle.data")
+    prop = mixfile.read_mix_file(path, [1, 2], lmax=30, dmax=2)
+    out = str(tmp_path / "rt_mix.data")
+    mixfile.write_mix_file(out, prop, [1, 2])
+    prop2 = mixfile.read_mix_file(out, [1, 2], lmax=30, dmax=2)
+    np.testing.assert_allclose(np.asarray(prop.lam), np.asarray(prop2.lam),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(prop.mu), np.asarray(prop2.mu),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(prop.B), np.asarray(prop2.B),
+                               atol=1e-5)
+
+
+def test_mix_file_validation(tmp_path):
+    path = os.path.join(DATA_DIR, "toy1_mix_c_oracle.data")
+    with pytest.raises(ValueError, match="nmodels"):
+        mixfile.read_mix_file(path, [1, 2, 3], lmax=30, dmax=3)
+    with pytest.raises(ValueError, match="dim"):
+        mixfile.read_mix_file(path, [2, 2], lmax=30, dmax=2)
+
+
+def test_sokal_iact_iid_and_correlated():
+    rng = np.random.default_rng(0)
+    n = 4096
+    # iid binary series: tau ~ 1 (reference convention: sum over all lags)
+    x = rng.integers(0, 2, n).astype(np.float32)
+    out = diagnostics.sokal_batched(x)
+    assert 0.5 < out["tau_mean"] < 2.0, out["tau_mean"]
+    # AR(1) with phi=0.9: tau = (1+phi)/(1-phi) = 19
+    phi = 0.9
+    z = np.zeros(n, np.float32)
+    for i in range(1, n):
+        z[i] = phi * z[i - 1] + rng.standard_normal()
+    out2 = diagnostics.sokal_batched(z)
+    assert 10.0 < out2["tau_mean"] < 30.0, out2["tau_mean"]
+
+
+def test_reports_write_all_files(tmp_path):
+    cfg = EngineConfig(n_chains=128, n_chains_stage1=128, stage1_sweeps=300,
+                       sweep_chunk=128, max_em_iters=100, max_mix_comps=8,
+                       seed=3, n_trace_chains=4)
+    am = AMSampler(builtin.normal_beta_set(), cfg)
+    am.estimate_conditional_probs()
+    am.burn_samples(128)
+    am.rjmcmc_samples(512)
+    stem = str(tmp_path / "run")
+    reports.report_cond_prob_estimation(stem, am)
+    reports.report_rjmcmc_run(stem, am, mode=0, nsweep2=300, nsweep=512)
+    for suffix in ["mix", "log", "adapt", "cf", "k", "lp", "pk", "ac",
+                   "theta1", "theta2"]:
+        p = f"{stem}_{suffix}.data"
+        assert os.path.exists(p), f"missing {p}"
+    # _k.data is 1-based model indices, one per sweep
+    ks = [int(l) for l in open(f"{stem}_k.data").read().split()]
+    assert len(ks) == 512
+    assert set(ks) <= {1, 2}
+    # the mix file round-trips through our reader
+    prop = mixfile.read_mix_file(f"{stem}_mix.data", [2, 2], lmax=8, dmax=2)
+    np.testing.assert_allclose(np.asarray(prop.lam).sum(1), 1.0, atol=1e-5)
+    # log file contains the posterior model probability block
+    log = open(f"{stem}_log.data").read()
+    assert "Posterior Model Probabilities:" in log
+    assert "Acceptance Rates:" in log
