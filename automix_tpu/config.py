@@ -61,6 +61,17 @@ class EngineConfig:
     max_mix_comps: int = 30       # NUM_MIX_COMPS_MAX (automix.c:205)
     max_em_iters: int = 5000      # NUM_FITMIX_MAX (automix.c:206)
 
+    # --- engine-native extensions ---------------------------------------
+    # Within-model move kind for stage 3: "rwm" reproduces the reference's
+    # block/componentwise Metropolis (automix.c:1054-1085); "hmc" replaces
+    # it with gradient-based Hamiltonian moves (possible because models are
+    # pure JAX functions — jax.grad comes free; SURVEY.md section 7 step 7).
+    within_move: str = "rwm"
+    hmc_steps: int = 5          # leapfrog steps per HMC move
+    # Leapfrog step size per coordinate = hmc_step_scale * sig[k, j], i.e.
+    # preconditioned by the stage-1 adapted RWM scales.
+    hmc_step_scale: float = 0.2
+
     # --- TPU-native knobs ------------------------------------------------
     # Number of parallel RJMCMC chains in stage 3.  The reference runs
     # exactly one chain (automix.c:90-125); the chain axis is this engine's
@@ -91,6 +102,8 @@ class EngineConfig:
     def __post_init__(self):
         if self.mix_fit not in (FIGUEIREDO_MIX_FIT, AUTORJ_MIX_FIT):
             raise ValueError(f"unknown mix_fit {self.mix_fit!r}")
+        if self.within_move not in ("rwm", "hmc"):
+            raise ValueError(f"unknown within_move {self.within_move!r}")
         if self.n_chains < 1:
             raise ValueError("n_chains must be >= 1")
         if self.student_t_dof < 0:

@@ -59,6 +59,11 @@ def build_chain_sweep(modelset: ModelSet, cfg: EngineConfig, burning: bool):
     dof = cfg.student_t_dof
     dtype = cfg.dtype
     adapt = cfg.adapt and not burning
+    if cfg.within_move == "hmc":
+        from automix_tpu.kernels.hmc import build_hmc_move
+        hmc_move = build_hmc_move(modelset, cfg)
+    else:
+        hmc_move = None
 
     def sweep_chain(key, k, theta, logp, pk, pkllim, nreinit, sweep, prop: Proposal):
         L = prop.lam.shape[1]
@@ -105,8 +110,13 @@ def build_chain_sweep(modelset: ModelSet, cfg: EngineConfig, burning: bool):
                 0, D, coord_body, (theta, logp, jnp.int32(0), jnp.int32(0)))
             return theta, logp, jnp.int32(0), jnp.int32(0), nacc, ntry
 
-        theta, logp, naccb, ntryb, naccs, ntrys = jax.lax.cond(
-            do_block, block_move, componentwise_move, (theta, logp))
+        if hmc_move is not None:
+            theta, logp, acc = hmc_move(base, k, theta, logp, sig_k, mask_k)
+            naccb, ntryb = acc.astype(jnp.int32), jnp.int32(1)
+            naccs = ntrys = jnp.int32(0)
+        else:
+            theta, logp, naccb, ntryb, naccs, ntrys = jax.lax.cond(
+                do_block, block_move, componentwise_move, (theta, logp))
         stats["naccrwmb"], stats["ntryrwmb"] = naccb, ntryb
         stats["naccrwms"], stats["ntryrwms"] = naccs, ntrys
 

@@ -176,3 +176,15 @@ class AMSampler:
         if self.stats is None:
             raise RuntimeError("run rjmcmc_samples first")
         return self.stats.model_probs
+
+    def save(self, path: str):
+        """Checkpoint the full resumable state (chains + proposal + stats);
+        see io/checkpoint.py."""
+        from automix_tpu.io import checkpoint
+        checkpoint.save_checkpoint(path, self)
+
+    def load(self, path: str):
+        """Restore state written by :meth:`save`; the next
+        burn/rjmcmc call continues the exact trajectories."""
+        from automix_tpu.io import checkpoint
+        checkpoint.load_checkpoint(path, self)
