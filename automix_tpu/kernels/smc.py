@@ -1,0 +1,176 @@
+"""SMC model-jump alternative: tempered evidence estimation per model.
+
+An engine-native alternative to reversible-jump visit counting (the
+north-star extension of SURVEY.md section 7 step 7).  Instead of jumping
+between models, run one annealed SMC per model — all models at once,
+vectorized exactly like stage 1 — bridging from the stage-2 fitted mixture
+proposal q_k to the target p_k:
+
+    pi_beta  ∝  q_k(theta)^(1-beta) * p_k(theta)^beta,   beta: 0 -> 1
+
+Because q_k is a *fitted approximation of p_k's conditional posterior*,
+the bridge is short and the incremental weights are tame.  The
+normalizing-constant telescope gives each model's evidence:
+
+    log Z_k = sum_t log E_{pi_{beta_t}}[ exp(dbeta * (log p - log q)) ]
+
+and since each registered log-density already folds in its model prior
+weight, posterior model probabilities are softmax(log Z_k) directly —
+with no trans-dimensional mixing requirements at all.  This estimator is
+immune to RJ acceptance pathologies and gives per-model evidences the
+reference cannot produce.
+
+Mutation kernel: componentwise RWM targeting pi_beta (accept on
+beta * dlogp + (1-beta) * dlogq), reusing the stage-1 adapted scales.
+Resampling: systematic, per model, every temperature step.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.special import logsumexp
+
+from automix_tpu.config import EngineConfig, LOG_ACCEPT_CLAMP
+from automix_tpu.model import ModelSet
+from automix_tpu.ops import linalg, randoms
+from automix_tpu.state import Proposal
+
+
+def _mixture_logq(theta, lam_k, mu_k, B_k, logdet_k, dim):
+    """log q_k(theta): the fitted Normal-mixture proposal density [.., D]."""
+    lp_comp = linalg.lnormprob(theta[..., None, :], mu_k, B_k, dim)  # [.., L]
+    loglam = jnp.where(lam_k > 0, jnp.log(jnp.maximum(lam_k, 1e-38)), -jnp.inf)
+    return logsumexp(loglam + lp_comp, axis=-1)
+
+
+def _sample_mixture(key, lam_k, mu_k, B_k, dim, dmax, dtype):
+    """Draw theta ~ q_k for one particle."""
+    loglam = jnp.where(lam_k > 0, jnp.log(jnp.maximum(lam_k, 1e-38)), -jnp.inf)
+    l = jax.random.categorical(jax.random.fold_in(key, 0), loglam)
+    z = jax.random.normal(jax.random.fold_in(key, 1), (dmax,), dtype)
+    mask = (jnp.arange(dmax) < dim).astype(dtype)
+    theta = mu_k[l] + linalg.lower_matvec(B_k[l], z * mask)
+    return theta * mask
+
+
+def _systematic_resample(key, logw, n):
+    """Systematic resampling indices from normalized log-weights [N]."""
+    w = jnp.exp(logw - logsumexp(logw))
+    cum = jnp.cumsum(w)
+    u0 = jax.random.uniform(key, ())
+    pts = (u0 + jnp.arange(n)) / n
+    return jnp.searchsorted(cum, pts, side="left").astype(jnp.int32)
+
+
+def run_smc(modelset: ModelSet, cfg: EngineConfig, proposal: Proposal, key,
+            n_particles: int = 2048, n_temps: int = 20, n_moves: int = 3,
+            betas: Optional[jnp.ndarray] = None):
+    """Annealed SMC for all models simultaneously.
+
+    Returns dict with ``log_evidence`` [K], ``model_probs`` [K] (softmax of
+    the evidences — the registered densities carry their model priors),
+    ``ess`` [n_temps, K] effective sample sizes, and the final particle
+    cloud ``theta`` [K, N, D] (equally weighted after the final resample).
+    """
+    K, D = modelset.nmodels, modelset.dmax
+    dims = modelset.dims_device
+    dtype = cfg.dtype
+    N = n_particles
+    if betas is None:
+        betas = jnp.linspace(0.0, 1.0, n_temps + 1)[1:]
+    else:
+        betas = jnp.asarray(betas)
+        n_temps = betas.shape[0]
+
+    lam, mu, B = proposal.lam, proposal.mu, proposal.B
+    sig = proposal.sig
+
+    def logq_all(theta):          # [K, N, D] -> [K, N]
+        return jax.vmap(
+            lambda th_k, lam_k, mu_k, B_k, d:
+            _mixture_logq(th_k, lam_k, mu_k, B_k, None, d)
+        )(theta, lam, mu, B, dims)
+
+    def logp_all(theta):          # [K, N, D] -> [K, N]
+        k_idx = jnp.repeat(jnp.arange(K, dtype=jnp.int32), N)
+        flat = theta.reshape(K * N, D)
+        return modelset.logpost_batch(k_idx, flat).reshape(K, N)
+
+    @jax.jit
+    def smc(key):
+        key, k_init = jax.random.split(key)
+        init_keys = jax.random.split(k_init, K * N).reshape(K, N, 2)
+        theta0 = jax.vmap(lambda keys_k, lam_k, mu_k, B_k, d: jax.vmap(
+            lambda kk: _sample_mixture(kk, lam_k, mu_k, B_k, d, D, dtype)
+        )(keys_k))(init_keys, lam, mu, B, dims)
+        logq0 = logq_all(theta0)
+        logp0 = logp_all(theta0)
+
+        mask = (jnp.arange(D)[None, :] < dims[:, None]).astype(dtype)  # [K, D]
+
+        def temp_step(carry, inp):
+            theta, logp, logq, logZ, prev_beta, key = carry
+            beta = inp
+            dbeta = beta - prev_beta
+            delta = logp - logq                          # [K, N]
+            # evidence increment per model: log mean exp(dbeta * delta)
+            logZ = logZ + logsumexp(dbeta * delta, axis=1) - jnp.log(float(N))
+            ess = jnp.exp(2 * logsumexp(dbeta * delta, axis=1)
+                          - logsumexp(2 * dbeta * delta, axis=1))
+
+            # systematic resample per model
+            key, k_rs = jax.random.split(key)
+            rs_keys = jax.random.split(k_rs, K)
+            idx = jax.vmap(lambda kk, lw: _systematic_resample(kk, lw, N)
+                           )(rs_keys, dbeta * delta)
+            theta = jnp.take_along_axis(theta, idx[:, :, None], axis=1)
+            logp = jnp.take_along_axis(logp, idx, axis=1)
+            logq = jnp.take_along_axis(logq, idx, axis=1)
+
+            # RWM mutations targeting pi_beta
+            def one_move(carry, mkey):
+                theta, logp, logq = carry
+
+                def coord(j, c):
+                    theta, logp, logq = c
+                    ck = jax.random.fold_in(mkey, j)
+                    z = jax.random.normal(jax.random.fold_in(ck, 0),
+                                          (K, N), dtype)
+                    u = jax.random.uniform(jax.random.fold_in(ck, 1),
+                                           (K, N), dtype)
+                    active = (j < dims)[:, None]                     # [K, 1]
+                    prop_j = theta[:, :, j] + sig[:, j][:, None] * z
+                    theta_p = theta.at[:, :, j].set(
+                        jnp.where(active, prop_j, theta[:, :, j]))
+                    logp_p = logp_all(theta_p)
+                    logq_p = logq_all(theta_p)
+                    dlt = beta * (logp_p - logp) + (1 - beta) * (logq_p - logq)
+                    acc = (u < jnp.exp(jnp.clip(dlt, LOG_ACCEPT_CLAMP, 0.0))) \
+                        & active
+                    theta = jnp.where(acc[:, :, None], theta_p, theta)
+                    logp = jnp.where(acc, logp_p, logp)
+                    logq = jnp.where(acc, logq_p, logq)
+                    return theta, logp, logq
+
+                theta, logp, logq = jax.lax.fori_loop(
+                    0, D, coord, (theta, logp, logq))
+                return (theta, logp, logq), None
+
+            key, k_mv = jax.random.split(key)
+            (theta, logp, logq), _ = jax.lax.scan(
+                one_move, (theta, logp, logq),
+                jax.random.split(k_mv, n_moves))
+            return (theta, logp, logq, logZ, beta, key), ess
+
+        carry0 = (theta0, logp0, logq0, jnp.zeros((K,), dtype),
+                  jnp.asarray(0.0, dtype), key)
+        (theta, logp, logq, logZ, _, _), ess = jax.lax.scan(
+            temp_step, carry0, betas)
+        probs = jax.nn.softmax(logZ)
+        return {"log_evidence": logZ, "model_probs": probs, "ess": ess,
+                "theta": theta, "logp": logp}
+
+    return jax.device_get(smc(key))

@@ -177,6 +177,16 @@ class AMSampler:
             raise RuntimeError("run rjmcmc_samples first")
         return self.stats.model_probs
 
+    def smc_evidence(self, n_particles: int = 2048, n_temps: int = 20,
+                     n_moves: int = 3):
+        """Annealed-SMC model evidences — the engine's alternative to RJ
+        visit counting (kernels/smc.py).  Requires fitted proposals."""
+        from automix_tpu.kernels import smc
+        self._ensure_proposal()
+        return smc.run_smc(self.modelset, self.cfg, self.proposal,
+                           self._next_key(), n_particles=n_particles,
+                           n_temps=n_temps, n_moves=n_moves)
+
     def save(self, path: str):
         """Checkpoint the full resumable state (chains + proposal + stats);
         see io/checkpoint.py."""
