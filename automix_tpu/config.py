@@ -104,6 +104,10 @@ class EngineConfig:
             raise ValueError(f"unknown mix_fit {self.mix_fit!r}")
         if self.within_move not in ("rwm", "hmc"):
             raise ValueError(f"unknown within_move {self.within_move!r}")
+        if self.within_move == "hmc" and self.student_t_dof > 0:
+            raise ValueError(
+                "within_move='hmc' uses Gaussian momenta; combine it with "
+                "student_t_dof=0")
         if self.n_chains < 1:
             raise ValueError("n_chains must be >= 1")
         if self.student_t_dof < 0:

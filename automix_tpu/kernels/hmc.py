@@ -22,19 +22,21 @@ from automix_tpu.model import ModelSet
 
 
 def build_hmc_move(modelset: ModelSet, cfg: EngineConfig):
-    """Single-chain HMC move ``(base_key, k, theta, logp, sig_k, mask_k) ->
-    (theta, logp, accepted)`` (to be vmapped by the sweep kernel)."""
+    """Single-chain HMC move ``(u_acc, z, k, theta, logp, sig_k, mask_k) ->
+    (theta, logp, accepted)`` (to be vmapped by the sweep kernel).
+
+    ``u_acc`` is this chain's accept uniform and ``z`` [D] its momentum
+    draw, both sliced from the sweep's batched random block (see
+    rjmcmc.draw_sweep_randoms)."""
     D = modelset.dmax
     dtype = cfg.dtype
     n_steps = cfg.hmc_steps
 
     grad_logp = jax.grad(modelset.logpost_padded, argnums=1)
 
-    def move(base_key, k, theta, logp, sig_k, mask_k):
+    def move(u_acc, z, k, theta, logp, sig_k, mask_k):
         eps = cfg.hmc_step_scale * sig_k * mask_k
-        key_p = jax.random.fold_in(base_key, 41)
-        key_u = jax.random.fold_in(base_key, 42)
-        p0 = jax.random.normal(key_p, (D,), dtype) * mask_k
+        p0 = z * mask_k
 
         def leapfrog(carry, _):
             q, p = carry
@@ -53,8 +55,7 @@ def build_hmc_move(modelset: ModelSet, cfg: EngineConfig):
         h0 = -logp + 0.5 * jnp.sum(p0 * p0)
         h1 = -lp_new + 0.5 * jnp.sum(p * p)
         log_accept = jnp.where(bad, -jnp.inf, h0 - h1)
-        u = jax.random.uniform(key_u, (), dtype)
-        acc = u < jnp.exp(jnp.clip(log_accept, LOG_ACCEPT_CLAMP, 0.0))
+        acc = u_acc < jnp.exp(jnp.clip(log_accept, LOG_ACCEPT_CLAMP, 0.0))
         theta = jnp.where(acc, q, theta)
         logp = jnp.where(acc, lp_new, logp)
         return theta, logp, acc

@@ -8,17 +8,29 @@ MH accept), and (c) diminishing adaptation of the model-proposal
 probabilities pk with the re-init safeguard.
 
 TPU-native design (SURVEY.md section 7, step 4): the whole move is dense
-linear algebra at padded shapes, written for ONE chain and ``vmap``-ed over
-thousands.  The padded coordinates of the standardized latent ``work`` are
-exactly the "extra latent draws" of the dimension-matching step — the
-padding *is* the dimension matching.  Sweeps are compiled into a
-``lax.scan`` chunk; visit counts / moment sums / acceptance counters are
-reduced on device per chunk and accumulated on host in 64-bit (state.py).
+linear algebra at padded shapes over the full chain batch [S, ...].  The
+padded coordinates of the standardized latent ``work`` are exactly the
+"extra latent draws" of the dimension-matching step — the padding *is*
+the dimension matching.  Sweeps are compiled into a ``lax.scan`` chunk;
+visit counts / moment sums / acceptance counters are reduced on device per
+chunk and accumulated on host in 64-bit (state.py).
 
-The categorical draws use Gumbel-max on the logit scale, which makes the
-reference's "sum underflowed -> pretend uniform" guards (automix.c:1102-1110,
-1224-1232) unnecessary: softmax probabilities are computed with logsumexp
-and never collapse to zero for live components.
+Two TPU-specific choices drive the kernel's shape:
+
+* **No per-chain gathers.**  Selecting chain s's model parameters as
+  ``mu[k[s]]`` lowers to an XLA gather, which on TPU serializes and ends
+  up dominating the sweep (measured: ~linear-in-S cost).  All per-chain
+  parameter selection is instead one-hot contraction against the small
+  [K, ...] proposal tables — MXU matmuls.  Dead-component log-weights use
+  a finite -1e30 sentinel instead of -inf so the contractions stay NaN-free.
+* **Two random draws per sweep.**  The sweep is op-count heavy, so all its
+  uniforms [S, MU] and t/Normal perturbations [S, MZ] come from two batched
+  threefry draws sliced at static offsets (one key per chain folded with
+  the global sweep counter — resumable and sharding-invariant).
+
+Categorical draws are Gumbel-argmax over masked logits, which also removes
+the reference's "sum underflowed -> pretend uniform" guards
+(automix.c:1102-1110, 1224-1232).
 """
 
 from __future__ import annotations
@@ -30,12 +42,10 @@ import jax
 import jax.numpy as jnp
 from jax.scipy.special import logsumexp
 
-from automix_tpu.config import EngineConfig, LOG_ACCEPT_CLAMP
+from automix_tpu.config import EngineConfig, LOG_ACCEPT_CLAMP, NEG_INF
 from automix_tpu.model import ModelSet
 from automix_tpu.ops import linalg, randoms
 from automix_tpu.state import Chains, Proposal
-
-_NEG = -jnp.inf
 
 
 def _accept_prob(delta):
@@ -43,77 +53,142 @@ def _accept_prob(delta):
 
 
 def _loglam(lam):
-    """Log mixture weights with dead slots masked to -inf."""
-    return jnp.where(lam > 0, jnp.log(jnp.maximum(lam, 1e-38)), _NEG)
+    """Log mixture weights, dead slots at the finite NEG_INF sentinel (so
+    one-hot contractions against the table cannot produce 0 * -inf NaNs)."""
+    return jnp.where(lam > 0, jnp.log(jnp.maximum(lam, 1e-38)),
+                     jnp.asarray(NEG_INF, lam.dtype))
 
 
-def build_chain_sweep(modelset: ModelSet, cfg: EngineConfig, burning: bool):
-    """Build the single-chain sweep function (to be vmapped).
+def _gumbel(u):
+    """Gumbel noise from uniforms in [0, 1)."""
+    return -jnp.log(-jnp.log1p(-u) + 1e-38)
 
-    Returns ``f(key, k, theta, logp, pk, pkllim, nreinit, sweep, prop)
-    -> (k, theta, logp, pk, pkllim, nreinit, stats)`` where ``stats`` is a
-    dict of int32 event flags for this chain.
-    """
+
+def _select_k(onehot_k, table):
+    """[S, K] one-hot x [K, ...] table -> [S, ...] via matmul (no gather)."""
+    K = table.shape[0]
+    flat = table.reshape(K, -1)
+    out = onehot_k @ flat
+    return out.reshape((onehot_k.shape[0],) + table.shape[1:])
+
+
+def _select_l(onehot_l, per_chain):
+    """[S, L] one-hot x [S, L, ...] -> [S, ...] via einsum (no gather)."""
+    S, L = onehot_l.shape
+    flat = per_chain.reshape(S, L, -1)
+    out = jnp.einsum("sl,slx->sx", onehot_l, flat)
+    return out.reshape((S,) + per_chain.shape[2:])
+
+
+def rand_slots(dmax: int, lmax: int, nmodels: int):
+    """Static slot layout of the per-sweep uniform/perturbation draws."""
+    D, L, K = dmax, lmax, nmodels
+    u = {
+        "rwm": (0, D),                 # componentwise accepts / block accept
+        "alloc": (D, D + L),           # forward allocation Gumbels
+        "model": (D + L, D + L + K),   # destination-model Gumbels
+        "comp": (D + L + K, D + L + K + L),   # destination-component Gumbels
+        "perm": (D + L + K + L, D + L + K + L + D),
+        "acc": (D + L + K + L + D, D + L + K + L + D + 1),
+    }
+    mu = D + 2 * L + K + D + 1
+    mz = 2 * D                         # [0:D) RWM perturbation, [D:2D) latent
+    return u, mu, mz
+
+
+def draw_sweep_randoms(keys, sweep, mu_count: int, mz_count: int, dof: int,
+                      dtype):
+    """Two batched draws for one sweep: uniforms [S, MU] and t/Normal
+    perturbations [S, MZ], derived from the per-chain keys and the global
+    sweep counter (resumable: depends only on (key, sweep))."""
+    skeys = jax.vmap(lambda ck: jax.random.fold_in(ck, sweep))(keys)
+    ku = jax.vmap(lambda ck: jax.random.fold_in(ck, 0))(skeys)
+    kz = jax.vmap(lambda ck: jax.random.fold_in(ck, 1))(skeys)
+    u = jax.vmap(lambda kk: jax.random.uniform(kk, (mu_count,), dtype))(ku)
+    z = jax.vmap(lambda kk: randoms.rand_t(kk, (mz_count,), dof, dtype))(kz)
+    return u, z
+
+
+def build_sweep_all(modelset: ModelSet, cfg: EngineConfig, burning: bool):
+    """Batched one-sweep step over all chains (unjitted):
+    ``sweep_all(chains, prop) -> (chains', stats)`` with stats int32 [S]/
+    scalars per event kind."""
     K, D = modelset.nmodels, modelset.dmax
     dims = modelset.dims_device
-    dof = cfg.student_t_dof
     dtype = cfg.dtype
+    dof = cfg.student_t_dof
     adapt = cfg.adapt and not burning
+    coords = jnp.arange(D)
     if cfg.within_move == "hmc":
         from automix_tpu.kernels.hmc import build_hmc_move
-        hmc_move = build_hmc_move(modelset, cfg)
+        hmc_move = jax.vmap(build_hmc_move(modelset, cfg),
+                            in_axes=(0, 0, 0, 0, 0, 0, 0))
     else:
         hmc_move = None
 
-    def sweep_chain(key, k, theta, logp, pk, pkllim, nreinit, sweep, prop: Proposal):
+    def sweep_all(chains: Chains, prop: Proposal):
+        S = chains.k.shape[0]
         L = prop.lam.shape[1]
-        base = jax.random.fold_in(key, sweep)
-        dim_k = dims[k]
-        mask_k = (jnp.arange(D) < dim_k).astype(dtype)
-        sig_k = prop.sig[k]
+        slots, mu_count, mz_count = rand_slots(D, L, K)
+
+        def us(name):
+            a, b = slots[name]
+            return u[:, a:b]
+
+        u, z = draw_sweep_randoms(chains.key, chains.sweep, mu_count,
+                                  mz_count, dof, dtype)
+        k, theta, logp = chains.k, chains.theta, chains.logp
+        pk, pkllim, nreinit = chains.pk, chains.pkllim, chains.nreinit
+        sweep = chains.sweep
+
+        onehot_k = jax.nn.one_hot(k, K, dtype=dtype)           # [S, K]
+        dim_k = dims[k]                                        # [S] (K-entry table)
+        mask_k = (coords[None, :] < dim_k[:, None]).astype(dtype)
+        sig_k = onehot_k @ prop.sig                            # [S, D]
 
         stats = {}
 
-        # ---- (a) within-model RWM (automix.c:1054-1085) -----------------
+        # ---- (a) within-model move (automix.c:1054-1085) ----------------
         do_block = (sweep % 10) == 0     # automix.c:95,148
 
         def block_move(args):
             theta, logp = args
-            z = randoms.rand_t(jax.random.fold_in(base, 1), (D,), dof, dtype)
-            u = jax.random.uniform(jax.random.fold_in(base, 2), (), dtype)
-            theta_prop = theta + sig_k * z * mask_k
-            lpn = modelset.logpost_padded(k, theta_prop)
-            acc = u < _accept_prob(lpn - logp)
-            theta = jnp.where(acc, theta_prop, theta)
+            theta_prop = theta + sig_k * z[:, :D] * mask_k
+            lpn = modelset.logpost_batch(k, theta_prop)
+            acc = us("rwm")[:, 0] < _accept_prob(lpn - logp)
+            theta = jnp.where(acc[:, None], theta_prop, theta)
             logp = jnp.where(acc, lpn, logp)
-            nacc = acc.astype(jnp.int32)
-            return theta, logp, nacc, jnp.int32(1), jnp.int32(0), jnp.int32(0)
+            zero = jnp.zeros((S,), jnp.int32)
+            return (theta, logp, acc.astype(jnp.int32),
+                    jnp.ones((S,), jnp.int32), zero, zero)
 
         def componentwise_move(args):
             theta, logp = args
+            u_rwm = us("rwm")
 
             def coord_body(j, carry):
                 theta, logp, nacc, ntry = carry
-                cb = jax.random.fold_in(base, 100 + j)
-                z = randoms.rand_t(jax.random.fold_in(cb, 1), (), dof, dtype)
-                u = jax.random.uniform(jax.random.fold_in(cb, 2), (), dtype)
-                active = j < dim_k
-                theta_prop = theta.at[j].set(theta[j] + sig_k[j] * z)
-                lpn = modelset.logpost_padded(k, theta_prop)
-                acc = (u < _accept_prob(lpn - logp)) & active
-                theta = jnp.where(acc, theta_prop, theta)
+                active = j < dim_k                             # [S]
+                col = theta[:, j] + sig_k[:, j] * z[:, j]
+                theta_prop = theta.at[:, j].set(col)
+                lpn = modelset.logpost_batch(k, theta_prop)
+                acc = (u_rwm[:, j] < _accept_prob(lpn - logp)) & active
+                theta = jnp.where(acc[:, None], theta_prop, theta)
                 logp = jnp.where(acc, lpn, logp)
                 return (theta, logp, nacc + acc.astype(jnp.int32),
                         ntry + active.astype(jnp.int32))
 
+            zero = jnp.zeros((S,), jnp.int32)
             theta, logp, nacc, ntry = jax.lax.fori_loop(
-                0, D, coord_body, (theta, logp, jnp.int32(0), jnp.int32(0)))
-            return theta, logp, jnp.int32(0), jnp.int32(0), nacc, ntry
+                0, D, coord_body, (theta, logp, zero, zero))
+            return theta, logp, zero, zero, nacc, ntry
 
         if hmc_move is not None:
-            theta, logp, acc = hmc_move(base, k, theta, logp, sig_k, mask_k)
-            naccb, ntryb = acc.astype(jnp.int32), jnp.int32(1)
-            naccs = ntrys = jnp.int32(0)
+            theta, logp, acc = hmc_move(us("rwm")[:, 0], z[:, :D], k, theta,
+                                        logp, sig_k, mask_k)
+            naccb = acc.astype(jnp.int32)
+            ntryb = jnp.ones((S,), jnp.int32)
+            naccs = ntrys = jnp.zeros((S,), jnp.int32)
         else:
             theta, logp, naccb, ntryb, naccs, ntrys = jax.lax.cond(
                 do_block, block_move, componentwise_move, (theta, logp))
@@ -121,89 +196,125 @@ def build_chain_sweep(modelset: ModelSet, cfg: EngineConfig, burning: bool):
         stats["naccrwms"], stats["ntryrwms"] = naccs, ntrys
 
         # ---- (b) reversible jump (automix.c:1087-1256) ------------------
-        # 9.1: allocate current state to a mixture component of model k
-        loglam_k = _loglam(prop.lam[k])
-        lp_alloc = linalg.lnormprob(theta, prop.mu[k], prop.B[k], dim_k)  # [L]
+        loglam_all = _loglam(prop.lam)                         # [K, L]
+        loglam_k = onehot_k @ loglam_all                       # [S, L]
+        mu_k = _select_k(onehot_k, prop.mu)                    # [S, L, D]
+        B_k = _select_k(onehot_k, prop.B)                      # [S, L, D, D]
+        logdet_k = onehot_k @ prop.logdetB                     # [S, L]
+
+        # 9.1: allocate current state to a component of model k
+        lp_alloc = linalg.lnormprob(theta[:, None, :], mu_k, B_k,
+                                    dim_k[:, None])            # [S, L]
         logits = loglam_k + lp_alloc
-        l = randoms.categorical_from_logits(jax.random.fold_in(base, 20), logits)
-        log_palloc = logits[l] - logsumexp(logits)
+        onehot_l = jax.nn.one_hot(
+            jnp.argmax(logits + _gumbel(us("alloc")), axis=1), L, dtype=dtype)
+        log_palloc = jnp.sum(onehot_l * logits, axis=1) - logsumexp(logits, axis=1)
 
         # 9.2: standardize (forward substitution, automix.c:1125-1135)
-        work = linalg.forward_substitute(prop.B[k, l], (theta - prop.mu[k, l]) * mask_k)
+        mu_kl = _select_l(onehot_l, mu_k)                      # [S, D]
+        B_kl = _select_l(onehot_l, B_k)                        # [S, D, D]
+        work = linalg.forward_substitute(B_kl, (theta - mu_kl) * mask_k)
         work = work * mask_k
 
         # 9.3: choose destination model kn ~ pk and component ln ~ lam[kn]
         if K == 1:
             kn = k
-            logratio = jnp.asarray(0.0, dtype)
+            onehot_kn = onehot_k
+            logratio = jnp.zeros((S,), dtype)
             gamma = jnp.asarray(0.0, dtype)
         else:
             gamma = (1.0 / (sweep.astype(dtype) + 1.0)) ** (2.0 / 3.0)  # automix.c:1145
-            kn = randoms.categorical_from_logits(
-                jax.random.fold_in(base, 21),
-                jnp.log(jnp.maximum(pk, 1e-38))).astype(jnp.int32)
-            logratio = (jnp.log(jnp.maximum(pk[k], 1e-38))
-                        - jnp.log(jnp.maximum(pk[kn], 1e-38)))
+            logpk = jnp.log(jnp.maximum(pk, 1e-38))            # [S, K]
+            kn = jnp.argmax(logpk + _gumbel(us("model")), axis=1).astype(jnp.int32)
+            onehot_kn = jax.nn.one_hot(kn, K, dtype=dtype)
+            logratio = (jnp.sum(onehot_k * logpk, axis=1)
+                        - jnp.sum(onehot_kn * logpk, axis=1))
         dim_kn = dims[kn]
-        mask_kn = (jnp.arange(D) < dim_kn).astype(dtype)
-        loglam_kn = _loglam(prop.lam[kn])
-        ln = randoms.categorical_from_logits(
-            jax.random.fold_in(base, 22), loglam_kn)
+        mask_kn = (coords[None, :] < dim_kn[:, None]).astype(dtype)
+        loglam_kn = onehot_kn @ loglam_all                     # [S, L]
+        onehot_ln = jax.nn.one_hot(
+            jnp.argmax(loglam_kn + _gumbel(us("comp")), axis=1), L, dtype=dtype)
 
-        # 9.4: dimension-match the latent.  Coordinates beyond the current
-        # dim are filled with fresh t/Normal draws (automix.c:1171-1204).
-        z = randoms.rand_t(jax.random.fold_in(base, 23), (D,), dof, dtype)
-        coords = jnp.arange(D)
-        work_full = jnp.where(coords < dim_k, work, z)
-        up = (coords >= dim_k) & (coords < dim_kn)       # growing coords
+        # 9.4: dimension-match the latent (automix.c:1171-1204)
+        work_full = jnp.where(coords[None, :] < dim_k[:, None], work,
+                              z[:, D:2 * D])
+        up = (coords[None, :] >= dim_k[:, None]) \
+            & (coords[None, :] < dim_kn[:, None])
         lpdf_up = randoms.latent_log_pdf(work_full, dof)
-        logratio = logratio - jnp.sum(jnp.where(up, lpdf_up, 0.0))
+        logratio = logratio - jnp.sum(jnp.where(up, lpdf_up, 0.0), axis=1)
         if cfg.perm:
-            n_active = jnp.maximum(dim_k, dim_kn)
-            idx = randoms.masked_permutation(
-                jax.random.fold_in(base, 24), n_active, D)
-            work_full = work_full[idx]
-        down = (coords >= dim_kn) & (coords < dim_k)     # dropped coords
+            n_active = jnp.maximum(dim_k, dim_kn)[:, None]
+            sort_key = jnp.where(coords[None, :] < n_active, us("perm"),
+                                 1.0 + coords[None, :].astype(dtype))
+            work_full = jnp.take_along_axis(
+                work_full, jnp.argsort(sort_key, axis=1), axis=1)
+        down = (coords[None, :] >= dim_kn[:, None]) \
+            & (coords[None, :] < dim_k[:, None])
         lpdf_down = randoms.latent_log_pdf(work_full, dof)
-        logratio = logratio + jnp.sum(jnp.where(down, lpdf_down, 0.0))
+        logratio = logratio + jnp.sum(jnp.where(down, lpdf_down, 0.0), axis=1)
 
         # de-standardize into the destination model (automix.c:1206-1211)
-        thetan = (prop.mu[kn, ln]
-                  + linalg.lower_matvec(prop.B[kn, ln], work_full * mask_kn))
+        mu_kn = _select_k(onehot_kn, prop.mu)
+        B_kn = _select_k(onehot_kn, prop.B)
+        logdet_kn = onehot_kn @ prop.logdetB
+        mu_knln = _select_l(onehot_ln, mu_kn)
+        B_knln = _select_l(onehot_ln, B_kn)
+        thetan = (mu_knln + linalg.lower_matvec(B_knln, work_full * mask_kn))
         thetan = thetan * mask_kn
 
         # 9.5: reverse-move allocation probability (automix.c:1213-1235)
-        lp_alloc_n = linalg.lnormprob(thetan, prop.mu[kn], prop.B[kn], dim_kn)
+        lp_alloc_n = linalg.lnormprob(thetan[:, None, :], mu_kn, B_kn,
+                                      dim_kn[:, None])
         logits_n = loglam_kn + lp_alloc_n
-        log_pallocn = logits_n[ln] - logsumexp(logits_n)
+        log_pallocn = (jnp.sum(onehot_ln * logits_n, axis=1)
+                       - logsumexp(logits_n, axis=1))
 
         # 9.6: accept (automix.c:1237-1256)
-        lpn = modelset.logpost_padded(kn, thetan)
+        lpn = modelset.logpost_batch(kn, thetan)
         logratio = (logratio + (lpn - logp)
                     + (log_pallocn - log_palloc)
-                    + (loglam_k[l] - loglam_kn[ln])
-                    + (prop.logdetB[kn, ln] - prop.logdetB[k, l]))
-        u = jax.random.uniform(jax.random.fold_in(base, 25), (), dtype)
-        acc = u < _accept_prob(logratio)
+                    + (jnp.sum(onehot_l * loglam_k, axis=1)
+                       - jnp.sum(onehot_ln * loglam_kn, axis=1))
+                    + (jnp.sum(onehot_ln * logdet_kn, axis=1)
+                       - jnp.sum(onehot_l * logdet_k, axis=1)))
+        acc = us("acc")[:, 0] < _accept_prob(logratio)
         k = jnp.where(acc, kn, k)
-        theta = jnp.where(acc, thetan, theta)
+        theta = jnp.where(acc[:, None], thetan, theta)
         logp = jnp.where(acc, lpn, logp)
         stats["nacctd"] = acc.astype(jnp.int32)
-        stats["ntrytd"] = jnp.int32(1)
+        stats["ntrytd"] = jnp.ones((S,), jnp.int32)
 
         # ---- (c) pk diminishing adaptation + re-init safeguard ----------
         # (automix.c:1258-1281); skipped while burning and for K == 1.
         if adapt and K > 1:
-            onehot = (jnp.arange(K) == k).astype(dtype)
-            pk = pk + gamma * (onehot - pk)
-            reinit = jnp.any(pk < pkllim)
+            onehot_new = jax.nn.one_hot(k, K, dtype=dtype)
+            pk = pk + gamma * (onehot_new - pk)
+            reinit = jnp.any(pk < pkllim[:, None], axis=1)
             nreinit = nreinit + reinit.astype(jnp.int32)
-            pkllim = jnp.where(reinit, 1.0 / (10.0 * nreinit.astype(dtype)), pkllim)
-            pk = jnp.where(reinit, jnp.full((K,), 1.0 / K, dtype), pk)
+            pkllim = jnp.where(reinit,
+                               1.0 / (10.0 * nreinit.astype(dtype)), pkllim)
+            pk = jnp.where(reinit[:, None],
+                           jnp.full((S, K), 1.0 / K, dtype), pk)
 
-        return k, theta, logp, pk, pkllim, nreinit, stats
+        chains = chains.replace(k=k, theta=theta, logp=logp, pk=pk,
+                                pkllim=pkllim, nreinit=nreinit,
+                                sweep=chains.sweep + 1)
+        return chains, stats
 
-    return sweep_chain
+    return sweep_all
+
+
+def build_single_sweep(modelset: ModelSet, cfg: EngineConfig,
+                       burning: bool = False):
+    """Unjitted one-sweep step ``step(chains, prop) -> chains`` — the
+    engine's compile-checkable "forward step"."""
+    sweep_all = build_sweep_all(modelset, cfg, burning)
+
+    def step(chains: Chains, prop: Proposal) -> Chains:
+        chains, _ = sweep_all(chains, prop)
+        return chains
+
+    return step
 
 
 def build_chunk_runner(modelset: ModelSet, cfg: EngineConfig, burning: bool,
@@ -215,21 +326,15 @@ def build_chunk_runner(modelset: ModelSet, cfg: EngineConfig, burning: bool,
     """
     K, D = modelset.nmodels, modelset.dmax
     dtype = cfg.dtype
-    sweep_chain = build_chain_sweep(modelset, cfg, burning)
-    vmapped = jax.vmap(sweep_chain,
-                       in_axes=(0, 0, 0, 0, 0, 0, 0, None, None))
+    sweep_all = build_sweep_all(modelset, cfg, burning)
     n_trace = cfg.n_trace_chains
 
     @functools.partial(jax.jit, static_argnums=(2,))
     def runner(chains: Chains, prop: Proposal, n_sweeps: int):
         def body(carry, _):
             ch, acc = carry
-            k, theta, logp, pk, pkllim, nreinit, stats = vmapped(
-                ch.key, ch.k, ch.theta, ch.logp, ch.pk, ch.pkllim,
-                ch.nreinit, ch.sweep, prop)
-            ch = ch.replace(k=k, theta=theta, logp=logp, pk=pk,
-                            pkllim=pkllim, nreinit=nreinit,
-                            sweep=ch.sweep + 1)
+            ch, stats = sweep_all(ch, prop)
+            k, theta = ch.k, ch.theta
             onehot = jax.nn.one_hot(k, K, dtype=dtype)         # [S, K]
             acc = {
                 "ksummary": acc["ksummary"] + onehot.sum(axis=0).astype(jnp.int32),
@@ -246,8 +351,8 @@ def build_chunk_runner(modelset: ModelSet, cfg: EngineConfig, burning: bool,
                 trace = {
                     "k_trace": k[:n_trace].astype(jnp.int8),
                     "k0_trace": k[0].astype(jnp.int8),
-                    "pk0_trace": pk[0],
-                    "logp0_trace": logp[0],
+                    "pk0_trace": ch.pk[0],
+                    "logp0_trace": ch.logp[0],
                     "theta0_trace": theta[0],
                 }
             else:
@@ -270,25 +375,6 @@ def build_chunk_runner(modelset: ModelSet, cfg: EngineConfig, burning: bool,
         return chains_out, chunk
 
     return runner
-
-
-def build_single_sweep(modelset: ModelSet, cfg: EngineConfig,
-                       burning: bool = False):
-    """Unjitted one-sweep step ``step(chains, prop) -> chains`` over the
-    full chain batch — the engine's compile-checkable "forward step"."""
-    sweep_chain = build_chain_sweep(modelset, cfg, burning)
-    vmapped = jax.vmap(sweep_chain,
-                       in_axes=(0, 0, 0, 0, 0, 0, 0, None, None))
-
-    def step(chains: Chains, prop: Proposal) -> Chains:
-        k, theta, logp, pk, pkllim, nreinit, _ = vmapped(
-            chains.key, chains.k, chains.theta, chains.logp, chains.pk,
-            chains.pkllim, chains.nreinit, chains.sweep, prop)
-        return chains.replace(k=k, theta=theta, logp=logp, pk=pk,
-                              pkllim=pkllim, nreinit=nreinit,
-                              sweep=chains.sweep + 1)
-
-    return step
 
 
 def init_chains(modelset: ModelSet, cfg: EngineConfig, key,

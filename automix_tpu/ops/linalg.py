@@ -108,7 +108,8 @@ def log_det_tri(B, dim=None):
     logd = jnp.log(jnp.abs(diag))
     if dim is not None:
         d = B.shape[-1]
-        logd = logd * (jnp.arange(d) < dim).astype(logd.dtype)
+        mask = jnp.arange(d) < jnp.asarray(dim)[..., None]
+        logd = logd * mask.astype(logd.dtype)
     return jnp.sum(logd, axis=-1)
 
 

@@ -75,6 +75,15 @@ def test_trace_capture_shapes():
     assert set(np.unique(stats.k_trace)) <= {0, 1}
 
 
+def test_two_model_gamma_beta():
+    """Scenario 7 (tests/test_automix.c:94-103): p(M=Gamma) ~ 0.37 — the
+    closest-to-even split in the reference suite."""
+    am = AMSampler(builtin.gamma_beta_set(), _small_cfg(seed=9))
+    am.burn_samples(300)
+    stats = am.rjmcmc_samples(1500)
+    assert abs(stats.model_probs[0] - 0.37) < 0.15, stats.model_probs
+
+
 def test_autorj_mode_runs():
     am = AMSampler(builtin.normal_sampler_set(),
                    _small_cfg(mix_fit="autorj"))
