@@ -86,16 +86,22 @@ def fit_figueiredo(samples, dim, key, lmax: int, max_iters: int):
     nparams = dimf + dimf * (dimf + 1.0) / 2.0        # automix.c:751
     coord_mask = (jnp.arange(D) < dim).astype(dtype)
 
-    # --- init: lmax components seeded at distinct random samples with a
-    # common spherical covariance trace(cov)/(10*mdim) (automix.c:682-723).
-    idx = jax.random.choice(key, N, (lmax,), replace=False)
+    # --- init: components seeded at distinct random samples with a common
+    # spherical covariance trace(cov)/(10*mdim) (automix.c:682-723).  The
+    # reference always fits >= 1000*mdim samples against <= 30 components;
+    # when the engine is configured with fewer stage-1 samples, seeding the
+    # full lmax would overfit into degenerate components, so the initial
+    # live count is capped at ~N/20 (and never exceeds N).
+    l_init = max(1, min(lmax, N // 20 if N >= 20 else 1))
+    idx = jax.random.choice(key, N, (min(lmax, N),), replace=False)
+    idx = jnp.resize(idx, (lmax,))
     mu0 = samples[idx]                                 # [L, D]
     var = samples.var(axis=0) * coord_mask             # biased var, /n as in C
     sigma = var.sum() / (10.0 * dimf)
     diag0 = jnp.where(jnp.arange(D) < dim, jnp.sqrt(sigma), 1.0)
     B0 = jnp.broadcast_to(jnp.diag(diag0), (lmax, D, D))
-    lam0 = jnp.full((lmax,), 1.0 / lmax, dtype)
-    alive0 = jnp.ones((lmax,), bool)
+    alive0 = jnp.arange(lmax) < l_init
+    lam0 = jnp.where(alive0, 1.0 / l_init, 0.0).astype(dtype)
 
     lpdata0 = jax.vmap(
         lambda m, b: linalg.lnormprob(samples, m, b, dim), out_axes=1)(mu0, B0)
@@ -109,11 +115,11 @@ def fit_figueiredo(samples, dim, key, lmax: int, max_iters: int):
     }
     state0 = {
         "lam": lam0, "mu": mu0, "B": B0, "lpdata": lpdata0, "w": w0,
-        "alive": alive0, "Lkk": jnp.asarray(lmax, jnp.int32),
+        "alive": alive0, "Lkk": jnp.asarray(l_init, jnp.int32),
         "lpn": lpn0, "costfn": jnp.asarray(0.0, dtype),
         "costmin": jnp.asarray(jnp.inf, dtype),
         "best_lam": lam0, "best_mu": mu0, "best_B": B0,
-        "best_alive": alive0, "best_Lkk": jnp.asarray(lmax, jnp.int32),
+        "best_alive": alive0, "best_Lkk": jnp.asarray(l_init, jnp.int32),
         "count": jnp.asarray(0, jnp.int32),
         "stop": jnp.asarray(False),
         "tele": tele0,
@@ -291,4 +297,39 @@ def fit_proposal(modelset: ModelSet, cfg: EngineConfig, samples, sig, key):
         lambda Bk, d: jax.vmap(lambda b: linalg.log_det_tri(b, d))(Bk))(B, dims)
     proposal = Proposal(lam=lam, mu=mu, B=B, logdetB=logdetB, nmix=nmix,
                         sig=sig)
-    return proposal, telemetry
+    return trim_proposal(proposal), telemetry
+
+
+def trim_proposal(proposal: Proposal) -> Proposal:
+    """Slice the component axis down to the largest fitted mixture size.
+
+    Annihilation typically leaves far fewer than NUM_MIX_COMPS_MAX live
+    components; the hot loop's one-hot table contractions scale with the
+    padded L, so trimming the dead tail is a direct throughput win.  Live
+    components always occupy a slot prefix... they do not — annihilation
+    leaves holes — so compact each model's live slots to the front first.
+    """
+    import numpy as np
+
+    lam = np.asarray(proposal.lam)
+    mu = np.asarray(proposal.mu)
+    B = np.asarray(proposal.B)
+    logdet = np.asarray(proposal.logdetB)
+    K, L = lam.shape
+    D = mu.shape[2]
+    l_active = max(1, int(np.asarray(proposal.nmix).max()))
+
+    lam_c = np.zeros((K, l_active), lam.dtype)
+    mu_c = np.zeros((K, l_active, D), mu.dtype)
+    B_c = np.tile(np.eye(D, dtype=B.dtype), (K, l_active, 1, 1))
+    logdet_c = np.zeros((K, l_active), logdet.dtype)
+    for k in range(K):
+        live = np.nonzero(lam[k] > 0)[0][:l_active]
+        n = len(live)
+        lam_c[k, :n] = lam[k, live]
+        mu_c[k, :n] = mu[k, live]
+        B_c[k, :n] = B[k, live]
+        logdet_c[k, :n] = logdet[k, live]
+    return Proposal(lam=jnp.asarray(lam_c), mu=jnp.asarray(mu_c),
+                    B=jnp.asarray(B_c), logdetB=jnp.asarray(logdet_c),
+                    nmix=proposal.nmix, sig=proposal.sig)

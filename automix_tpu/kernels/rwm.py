@@ -79,23 +79,21 @@ def run_stage1(modelset: ModelSet, cfg: EngineConfig, key, nsweeps: int,
         tele_acc0 = jnp.zeros((n_tele, K, D), dtype)
 
         chain_keys = jax.random.split(key, M)
+        onehot_k = jax.nn.one_hot(k_assign, K, dtype=dtype)        # [M, K]
+        dims_assign = dims[k_assign]                               # constant
 
-        def componentwise(sweep, theta, lp, sig, nacc, ntry, keys):
+        def componentwise(sweep, theta, lp, sig, nacc, ntry, u, z):
             """One adaptive componentwise sweep (automix.c:618-640)."""
             gamma = 10.0 * (1.0 / (sweep + 1.0)) ** (2.0 / 3.0)
+            sig_sel = onehot_k @ sig                               # [M, D]
 
             def coord_body(j, carry):
                 theta, lp, sig, nacc, ntry = carry
-                kj = jax.vmap(lambda ck: jax.random.fold_in(ck, j))(keys)
-                k1 = jax.vmap(lambda ck: jax.random.fold_in(ck, 0))(kj)
-                k2 = jax.vmap(lambda ck: jax.random.fold_in(ck, 1))(kj)
-                z = jax.vmap(lambda kk: randoms.rand_t(kk, (), dof, dtype))(k1)
-                u = jax.vmap(lambda kk: jax.random.uniform(kk, (), dtype))(k2)
-                active = j < dims[k_assign]                       # [M]
-                prop_j = theta[:, j] + sig[k_assign, j] * z
+                active = j < dims_assign                           # [M]
+                prop_j = theta[:, j] + sig_sel[:, j] * z[:, j]
                 theta_prop = theta.at[:, j].set(prop_j)
                 lpn = modelset.logpost_batch(k_assign, theta_prop)
-                acc = (u < _accept_prob(lpn - lp)) & active
+                acc = (u[:, j] < _accept_prob(lpn - lp)) & active
                 theta = jnp.where(acc[:, None], theta_prop, theta)
                 lp = jnp.where(acc, lpn, lp)
                 # pooled Robbins-Monro sig update per (model, coordinate)
@@ -110,23 +108,24 @@ def run_stage1(modelset: ModelSet, cfg: EngineConfig, key, nsweeps: int,
 
             return jax.lax.fori_loop(0, D, coord_body, (theta, lp, sig, nacc, ntry))
 
-        def block(theta, lp, sig, keys):
+        def block(theta, lp, sig, u, z):
             """One full-vector non-adapting sweep (automix.c:606-617)."""
-            k1 = jax.vmap(lambda ck: jax.random.fold_in(ck, 10_001))(keys)
-            k2 = jax.vmap(lambda ck: jax.random.fold_in(ck, 10_002))(keys)
-            z = jax.vmap(lambda kk: randoms.rand_t(kk, (D,), dof, dtype))(k1)
-            u = jax.vmap(lambda kk: jax.random.uniform(kk, (), dtype))(k2)
-            mask = (jnp.arange(D)[None, :] < dims[k_assign][:, None]).astype(dtype)
-            theta_prop = theta + sig[k_assign] * z * mask
+            mask = (jnp.arange(D)[None, :] < dims_assign[:, None]).astype(dtype)
+            theta_prop = theta + (onehot_k @ sig) * z * mask
             lpn = modelset.logpost_batch(k_assign, theta_prop)
-            acc = u < _accept_prob(lpn - lp)
+            acc = u[:, 0] < _accept_prob(lpn - lp)
             theta = jnp.where(acc[:, None], theta_prop, theta)
             lp = jnp.where(acc, lpn, lp)
             return theta, lp
 
         def sweep_body(carry, sweep):
             theta, lp, sig, nacc, ntry, tele_sig, tele_acc = carry
-            keys = jax.vmap(lambda ck: jax.random.fold_in(ck, sweep))(chain_keys)
+            # two batched draws per sweep (see rjmcmc.draw_sweep_randoms)
+            skeys = jax.vmap(lambda ck: jax.random.fold_in(ck, sweep))(chain_keys)
+            ku = jax.vmap(lambda ck: jax.random.fold_in(ck, 0))(skeys)
+            kz = jax.vmap(lambda ck: jax.random.fold_in(ck, 1))(skeys)
+            u = jax.vmap(lambda kk: jax.random.uniform(kk, (D,), dtype))(ku)
+            z = jax.vmap(lambda kk: randoms.rand_t(kk, (D,), dof, dtype))(kz)
             gkey = jax.random.fold_in(jax.random.fold_in(key, 7), sweep)
             u_block = jax.random.uniform(gkey, (), dtype)
             # One coin per sweep for the whole batch, mirroring the single
@@ -136,12 +135,13 @@ def run_stage1(modelset: ModelSet, cfg: EngineConfig, key, nsweeps: int,
 
             def do_block_fn(args):
                 theta, lp, sig, nacc, ntry = args
-                theta, lp = block(theta, lp, sig, keys)
+                theta, lp = block(theta, lp, sig, u, z)
                 return theta, lp, sig, nacc, ntry
 
             def do_cw_fn(args):
                 theta, lp, sig, nacc, ntry = args
-                return componentwise(sweep.astype(dtype), theta, lp, sig, nacc, ntry, keys)
+                return componentwise(sweep.astype(dtype), theta, lp, sig,
+                                     nacc, ntry, u, z)
 
             theta, lp, sig, nacc, ntry = jax.lax.cond(
                 do_block, do_block_fn, do_cw_fn, (theta, lp, sig, nacc, ntry))

@@ -56,9 +56,21 @@ class Model:
 
 
 class ModelSet:
-    """A fixed collection of models, padded to a common max dimension."""
+    """A fixed collection of models, padded to a common max dimension.
 
-    def __init__(self, models: Sequence[Model], dtype=jnp.float32):
+    ``batched_logpost`` optionally supplies a hand-vectorized kernel
+    ``(k [S], theta_pad [S, dmax]) -> [S]`` used in place of the
+    vmapped ``lax.switch``.  The switch evaluates *every* model's density
+    for *every* chain and selects — fine for small K, wasteful for model
+    families whose members share structure (e.g. the ten rb9 variants):
+    a batched kernel computes each chain's own model directly via table
+    lookups and runs K-times less work on the hot path.  The per-model
+    ``logp`` functions remain the source of truth (gradients, SMC, tests);
+    parity between the two paths is asserted in the test suite.
+    """
+
+    def __init__(self, models: Sequence[Model], dtype=jnp.float32,
+                 batched_logpost=None):
         if not models:
             raise ValueError("need at least one model")
         self.models = tuple(models)
@@ -67,6 +79,7 @@ class ModelSet:
         self.dims = np.array([m.dim for m in models], dtype=np.int32)
         self.dmax = int(self.dims.max())
         self.dims_device = jnp.asarray(self.dims)
+        self._batched_logpost = batched_logpost
 
     # -- construction helpers -------------------------------------------
 
@@ -118,6 +131,10 @@ class ModelSet:
 
     def logpost_batch(self, k, theta_pad):
         """Batched log-posterior: k [S], theta_pad [S, dmax] -> [S]."""
+        if self._batched_logpost is not None:
+            lp = jnp.asarray(self._batched_logpost(k, theta_pad), self.dtype)
+            return jnp.where(jnp.isfinite(lp), lp,
+                             jnp.asarray(NEG_INF, self.dtype))
         return jax.vmap(self.logpost_padded)(k, theta_pad)
 
     def init_points(self, key) -> jnp.ndarray:

@@ -10,6 +10,7 @@ negative parameters hard-rejected (userrb9.c:79-84).
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 from jax.scipy.special import gammaln
 from scipy.special import gammaln as np_gammaln
@@ -65,7 +66,89 @@ def _kappa_map(k):
     return kap_idx
 
 
+def _build_batched_logpost(dtype=jnp.float32):
+    """Hand-vectorized ``(k [S], theta [S, 5]) -> [S]`` kernel.
+
+    The ten rb9 models share one formula and differ only in index maps; a
+    ``lax.switch`` would evaluate all ten densities per chain.  This kernel
+    instead encodes the maps as [K, ...] tables and selects per chain with
+    one-hot contractions (matching the gather-free hot-loop design), so the
+    whole model family costs one density evaluation regardless of K.
+    """
+    K, G, D = 10, 4, 5
+    x = jnp.asarray(X_DATA, dtype)
+    lgx1 = jnp.asarray(np_gammaln(X_DATA + 1.0), dtype)
+    groups = GROUPS
+
+    # [K, G, D] one-hot selectors: group g's rate / dispersion slot of theta
+    sel_lam = np.zeros((K, G, D), np.float32)
+    sel_kap = np.zeros((K, G, D), np.float32)
+    pindic_t = np.zeros((K, G), np.float32)
+    # per-theta-slot prior coefficients: slot i is Gamma(a1, b1) for rates,
+    # Gamma(a2, b2) for dispersions, zero beyond the model's dim
+    a_coef = np.zeros((K, D), np.float32)
+    b_coef = np.zeros((K, D), np.float32)
+    const = np.zeros((K,), np.float32)
+    for k in range(K):
+        ql, qk = N_LAMBDA[k], N_KAPPA[k]
+        for g, idx in enumerate(_lambda_map(k)):
+            sel_lam[k, g, idx] = 1.0
+        for g, idx in enumerate(_kappa_map(k)):
+            sel_kap[k, g, idx] = 1.0
+        pindic_t[k] = _pindic(k)
+        a_coef[k, :ql] = ALPHA1
+        a_coef[k, ql:ql + qk] = ALPHA2
+        b_coef[k, :ql] = BETA1
+        b_coef[k, ql:ql + qk] = BETA2
+        const[k] = (ql * (ALPHA1 * np.log(BETA1) - np_gammaln(ALPHA1))
+                    + qk * (ALPHA2 * np.log(BETA2) - np_gammaln(ALPHA2)))
+    sel_lam_j = jnp.asarray(sel_lam, dtype)
+    sel_kap_j = jnp.asarray(sel_kap, dtype)
+    pindic_j = jnp.asarray(pindic_t, dtype)
+    a_j, b_j = jnp.asarray(a_coef, dtype), jnp.asarray(b_coef, dtype)
+    const_j = jnp.asarray(const, dtype)
+    dims_j = jnp.asarray([N_LAMBDA[k] + N_KAPPA[k] for k in range(K)],
+                         jnp.int32)
+    obs_onehot = jnp.asarray(np.eye(G, dtype=np.float32)[groups], dtype)  # [66, G]
+
+    def batched(k, theta):
+        S = theta.shape[0]
+        onehot_k = jax.nn.one_hot(k, K, dtype=dtype)            # [S, K]
+        dim_k = dims_j[k]
+        in_dim = (jnp.arange(D)[None, :] < dim_k[:, None])
+        ok = jnp.all((theta > 0.0) | ~in_dim, axis=1)
+        th = jnp.where(in_dim & (theta > 0), theta, 1.0)
+
+        a_k = onehot_k @ a_j                                    # [S, D]
+        b_k = onehot_k @ b_j
+        lp = (onehot_k @ const_j[:, None])[:, 0]
+        lp = lp + jnp.sum(jnp.where(in_dim,
+                                    (a_k - 1.0) * jnp.log(th) - b_k * th,
+                                    0.0), axis=1)
+
+        sel_l = jnp.einsum("sk,kgd->sgd", onehot_k, sel_lam_j)  # [S, G, D]
+        sel_q = jnp.einsum("sk,kgd->sgd", onehot_k, sel_kap_j)
+        lam_g = jnp.einsum("sgd,sd->sg", sel_l, th)             # [S, G]
+        kap_g = jnp.einsum("sgd,sd->sg", sel_q, th)
+        is_nb_g = onehot_k @ pindic_j                            # [S, G]
+        lam_o = lam_g @ obs_onehot.T                             # [S, 66]
+        kap_o = kap_g @ obs_onehot.T
+        is_nb = is_nb_g @ obs_onehot.T
+
+        pois = -lam_o + x[None, :] * jnp.log(lam_o) - lgx1[None, :]
+        km1 = 1.0 / kap_o
+        nb = (x[None, :] * jnp.log(lam_o) + gammaln(x[None, :] + km1)
+              - lgx1[None, :] + km1 * jnp.log(km1) - gammaln(km1)
+              - (x[None, :] + km1) * jnp.log(lam_o + km1))
+        llh = jnp.sum(jnp.where(is_nb > 0.5, nb, pois), axis=1)
+        return jnp.where(ok, lp + llh, -1e6)
+
+    return batched
+
+
 def rb9_set(**kw) -> ModelSet:
+    kw.setdefault("batched_logpost", _build_batched_logpost(
+        kw.get("dtype", jnp.float32)))
     x = jnp.asarray(X_DATA, jnp.float32)
     lgx1 = jnp.asarray(np_gammaln(X_DATA + 1.0), jnp.float32)
     groups = jnp.asarray(GROUPS)

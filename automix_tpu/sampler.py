@@ -134,8 +134,10 @@ class AMSampler:
 
     def set_proposal(self, proposal: Proposal):
         """Install externally supplied proposal parameters (the engine's
-        mode-1 path: ``read_mixture_params``, logwrite.c:27-109)."""
-        self.proposal = proposal
+        mode-1 path: ``read_mixture_params``, logwrite.c:27-109).  The
+        component axis is trimmed to the live maximum for hot-loop speed."""
+        from automix_tpu.kernels.em import trim_proposal
+        self.proposal = trim_proposal(proposal)
         self.cpstats.initialized = True
 
     def burn_samples(self, nsweeps: int):

@@ -35,7 +35,7 @@ def main():
     from automix_tpu.models.tutorial import tutorial_set
     from automix_tpu.sampler import AMSampler
 
-    n_chains = 8192
+    n_chains = 32_768
     cfg = EngineConfig(
         n_chains=n_chains, n_chains_stage1=1024, stage1_sweeps=2000,
         sweep_chunk=1000, seed=0, trace_chain0=False, n_trace_chains=1)
@@ -46,7 +46,7 @@ def main():
     am.burn_samples(1000)
     am.rjmcmc_samples(1000, collect=False)     # warmup/compile
 
-    nsweeps = 20_000
+    nsweeps = 50_000
     t0 = time.perf_counter()
     stats = am.rjmcmc_samples(nsweeps, collect=False)
     elapsed = time.perf_counter() - t0

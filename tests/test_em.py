@@ -75,7 +75,10 @@ def test_fit_proposal_assembles_padded_proposal():
     sig = jnp.full((2, 2), 1.0, jnp.float32)
     prop, tele = em.fit_proposal(ms, cfg, jnp.asarray(samples), sig,
                                  jax.random.PRNGKey(0))
-    assert prop.lam.shape == (2, 6)
+    # the component axis is trimmed to the largest fitted mixture
+    l_active = prop.lam.shape[1]
+    assert l_active == int(np.asarray(prop.nmix).max())
+    assert l_active <= 6
     np.testing.assert_allclose(np.asarray(prop.lam).sum(axis=1), 1.0, rtol=1e-5)
     # dead components are identity-padded so logdet == 0
     lam = np.asarray(prop.lam)
@@ -101,7 +104,8 @@ def test_fit_autorj_mode():
     prop, _ = em.fit_proposal(ms, cfg, jnp.asarray(samples), sig,
                               jax.random.PRNGKey(0))
     assert int(prop.nmix[0]) == 1
-    np.testing.assert_allclose(np.asarray(prop.lam[0]), [1, 0, 0, 0], atol=1e-6)
+    assert prop.lam.shape == (1, 1)      # trimmed to the single component
+    np.testing.assert_allclose(np.asarray(prop.lam[0]), [1.0], atol=1e-6)
     np.testing.assert_allclose(np.asarray(prop.mu[0, 0]), [1.0, 2.0], atol=0.1)
     B = np.asarray(prop.B[0, 0])
     cov = B @ B.T
