@@ -67,7 +67,11 @@ class EngineConfig:
     # it with gradient-based Hamiltonian moves (possible because models are
     # pure JAX functions — jax.grad comes free; SURVEY.md section 7 step 7).
     within_move: str = "rwm"
-    hmc_steps: int = 5          # leapfrog steps per HMC move
+    hmc_steps: int = 5          # (max) leapfrog steps per HMC move
+    # Draw each chain's trajectory length uniformly from {1..hmc_steps}
+    # per move (randomized trajectories, the vectorizable alternative to
+    # NUTS's adaptive lengths; see kernels/hmc.py).
+    hmc_jitter: bool = True
     # Leapfrog step size per coordinate = hmc_step_scale * sig[k, j], i.e.
     # preconditioned by the stage-1 adapted RWM scales.
     hmc_step_scale: float = 0.2

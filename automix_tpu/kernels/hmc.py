@@ -10,6 +10,13 @@ One move = standard leapfrog HMC with a diagonal mass preconditioner taken
 from the stage-1 adapted RWM scales: step size eps_j = scale * sig[k, j].
 Padded coordinates carry zero momentum and zero gradient, so chains in
 different models stay fully vectorized exactly as in the RWM path.
+
+With ``cfg.hmc_jitter`` (default on) each chain's trajectory length is
+drawn uniformly from {1..hmc_steps} per move — randomized trajectory
+lengths break the periodicity pathologies NUTS exists to avoid, while
+keeping the fixed-bound, mask-based control flow a vectorized TPU kernel
+needs (a per-chain tree-doubling NUTS would diverge control flow across
+the batch).
 """
 
 from __future__ import annotations
@@ -34,21 +41,29 @@ def build_hmc_move(modelset: ModelSet, cfg: EngineConfig):
 
     grad_logp = jax.grad(modelset.logpost_padded, argnums=1)
 
-    def move(u_acc, z, k, theta, logp, sig_k, mask_k):
+    def move(u_acc, u_jit, z, k, theta, logp, sig_k, mask_k):
         eps = cfg.hmc_step_scale * sig_k * mask_k
         p0 = z * mask_k
+        if cfg.hmc_jitter:
+            my_steps = 1 + jnp.floor(u_jit * n_steps).astype(jnp.int32)
+            my_steps = jnp.minimum(my_steps, n_steps)
+        else:
+            my_steps = jnp.asarray(n_steps, jnp.int32)
 
-        def leapfrog(carry, _):
+        def leapfrog(carry, i):
             q, p = carry
+            live = i < my_steps
             g = grad_logp(k, q) * mask_k
             p_half = p + 0.5 * eps * g
-            q_new = q + eps * p_half
-            q_new = q_new * mask_k
+            q_new = (q + eps * p_half) * mask_k
             g_new = grad_logp(k, q_new) * mask_k
             p_new = p_half + 0.5 * eps * g_new
-            return (q_new, p_new), None
+            q = jnp.where(live, q_new, q)
+            p = jnp.where(live, p_new, p)
+            return (q, p), None
 
-        (q, p), _ = jax.lax.scan(leapfrog, (theta, p0), None, length=n_steps)
+        (q, p), _ = jax.lax.scan(leapfrog, (theta, p0),
+                                 jnp.arange(n_steps))
         lp_new = modelset.logpost_padded(k, q)
         # guard non-finite trajectories (diverged leapfrog)
         bad = ~(jnp.all(jnp.isfinite(q)) & jnp.isfinite(lp_new))

@@ -90,8 +90,9 @@ def rand_slots(dmax: int, lmax: int, nmodels: int):
         "comp": (D + L + K, D + L + K + L),   # destination-component Gumbels
         "perm": (D + L + K + L, D + L + K + L + D),
         "acc": (D + L + K + L + D, D + L + K + L + D + 1),
+        "extra": (D + L + K + L + D + 1, D + L + K + L + D + 2),
     }
-    mu = D + 2 * L + K + D + 1
+    mu = D + 2 * L + K + D + 2
     mz = 2 * D                         # [0:D) RWM perturbation, [D:2D) latent
     return u, mu, mz
 
@@ -122,7 +123,7 @@ def build_sweep_all(modelset: ModelSet, cfg: EngineConfig, burning: bool):
     if cfg.within_move == "hmc":
         from automix_tpu.kernels.hmc import build_hmc_move
         hmc_move = jax.vmap(build_hmc_move(modelset, cfg),
-                            in_axes=(0, 0, 0, 0, 0, 0, 0))
+                            in_axes=(0, 0, 0, 0, 0, 0, 0, 0))
     else:
         hmc_move = None
 
@@ -184,8 +185,9 @@ def build_sweep_all(modelset: ModelSet, cfg: EngineConfig, burning: bool):
             return theta, logp, zero, zero, nacc, ntry
 
         if hmc_move is not None:
-            theta, logp, acc = hmc_move(us("rwm")[:, 0], z[:, :D], k, theta,
-                                        logp, sig_k, mask_k)
+            theta, logp, acc = hmc_move(us("rwm")[:, 0], us("extra")[:, 0],
+                                        z[:, :D], k, theta, logp, sig_k,
+                                        mask_k)
             naccb = acc.astype(jnp.int32)
             ntryb = jnp.ones((S,), jnp.int32)
             naccs = ntrys = jnp.zeros((S,), jnp.int32)

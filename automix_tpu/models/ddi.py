@@ -18,9 +18,13 @@ Non-positive-definite precisions / variances reject with lp = -1e7
 (userddi.c:295, 381).
 
 The C code loops patients and re-factorizes a <=5x5 covariance per patient
-per evaluation; here all 467 patients are one batched Cholesky +
-triangular-solve over padded [467, 5, 5] covariances (padding rows carry an
-identity tail, so they contribute nothing).
+per evaluation; here all 467 patients are factorized at once — but
+*entry-wise*: the 5x5 covariance, its Cholesky factor, and the solve are
+held as 15 separate [467]-shaped arrays (one per lower-triangle entry)
+rather than a [467, 5, 5] tensor.  TPU tiling pads trailing [5, 5] axes to
+(8, 128) tiles — a 41x memory expansion that OOMs at [chains, 467, 5, 5];
+entry-wise layout keeps every array's trailing axis the 467-patient axis,
+which tiles cleanly, and vmap over chains adds only the leading axis.
 """
 
 from __future__ import annotations
@@ -147,28 +151,53 @@ def _make_logp(data, design, fixed, d_re, n_fix, c_prior, dmin1, r_diag,
         lp = lp + (-(A_HYP + 1.0) * jnp.log(vsafe) - 1.0 / (B_HYP * vsafe)
                    + ig_const)
 
-        # likelihood: batched marginal MVN over all patients
-        # C_i = W_i V W_i^T + var * I on observed visits, identity tail
-        WV = jnp.einsum("nvr,rs->nvs", Wd, V)
-        C = jnp.einsum("nvs,nws->nvw", WV, Wd)
-        pairmask = vmask[:, :, None] * vmask[:, None, :]
-        eye = jnp.eye(vmax, dtype=dtype)
-        C = C * pairmask + var * vmask[:, :, None] * eye \
-            + (1.0 - vmask[:, :, None]) * eye
-        Lc = jnp.linalg.cholesky(C)
-        lik_ok = jnp.all(jnp.isfinite(Lc))
-        Lc = jnp.where(lik_ok, jnp.nan_to_num(Lc, nan=0.0),
-                       jnp.broadcast_to(eye, C.shape))
+        # likelihood: marginal MVN over all patients, entry-wise (see
+        # module docstring for the TPU tiling rationale).
+        # C[a][b] = sum_{r,s} W[:,a,r] V[r,s] W[:,b,s] (+ var on the valid
+        # diagonal; identity on padded visits), each a [n_pat] array.
+        C = {}
+        for a in range(vmax):
+            for b in range(a + 1):
+                cab = jnp.einsum("nr,ru,nu->n", Wd[:, a, :], V, Wd[:, b, :])
+                valid = vmask[:, a] * vmask[:, b]
+                if a == b:
+                    cab = (cab + var) * valid + (1.0 - valid)
+                else:
+                    cab = cab * valid
+                C[(a, b)] = cab
+        # unrolled Cholesky on the entries (cf. automix.c:1682-1701)
+        L = {}
+        for a in range(vmax):
+            s = C[(a, a)]
+            for t in range(a):
+                s = s - L[(a, t)] * L[(a, t)]
+            L[(a, a)] = jnp.sqrt(s)
+            for b in range(a + 1, vmax):
+                s = C[(b, a)]
+                for t in range(a):
+                    s = s - L[(b, t)] * L[(a, t)]
+                L[(b, a)] = s / L[(a, a)]
+        lik_ok = jnp.all(jnp.stack(
+            [jnp.all(jnp.isfinite(L[(a, a)])) for a in range(vmax)]))
+        # forward substitution + quadratic form + log-determinant
         mu = jnp.einsum("nvf,f->nv", Xd, fixed_fx)
         resid = (Y - mu) * vmask
-        w = linalg.forward_substitute(Lc, resid)
-        quad = jnp.sum(w * w, axis=-1)
-        logdet = jnp.sum(jnp.log(jnp.abs(
-            jnp.diagonal(Lc, axis1=-2, axis2=-1))), axis=-1)
+        w = []
+        quad = 0.0
+        logdet = 0.0
+        for a in range(vmax):
+            s = resid[:, a]
+            for t in range(a):
+                s = s - L[(a, t)] * w[t]
+            wa = s / L[(a, a)]
+            w.append(wa)
+            quad = quad + wa * wa
+            logdet = logdet + jnp.log(jnp.abs(L[(a, a)]))
         sdim = S.astype(dtype)
         llh = jnp.sum(-0.5 * quad - 0.5 * sdim * _LOG_2PI - logdet)
 
         good = ok & posdef & lik_ok
+        llh = jnp.where(jnp.isfinite(llh), llh, REJECT)
         return jnp.where(good, lp + llh, REJECT)
 
     return logp
