@@ -70,5 +70,21 @@ def main():
     }))
 
 
+def main_with_retry():
+    """One retry in a fresh process: a TPU worker crash poisons the whole
+    client, so recovery requires re-exec rather than a Python-level retry."""
+    import os
+    import sys
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001 - deliberate catch-all for retry
+        if os.environ.get("AUTOMIX_BENCH_RETRY") == "1":
+            raise
+        print(f"# bench attempt failed ({type(e).__name__}: {e}); "
+              f"retrying in a fresh process", file=sys.stderr)
+        os.environ["AUTOMIX_BENCH_RETRY"] = "1"
+        os.execv(sys.executable, [sys.executable] + sys.argv)
+
+
 if __name__ == "__main__":
-    main()
+    main_with_retry()
