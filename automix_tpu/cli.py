@@ -103,8 +103,6 @@ def main(argv=None):
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
 
-    import numpy as np
-
     from automix_tpu.config import AUTORJ_MIX_FIT, EngineConfig, FIGUEIREDO_MIX_FIT
     from automix_tpu.io import mixfile, reports
     from automix_tpu.sampler import AMSampler

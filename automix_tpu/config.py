@@ -14,7 +14,7 @@ chunking of the scan-compiled hot loop.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional
+from typing import Any
 
 import jax.numpy as jnp
 

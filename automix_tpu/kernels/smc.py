@@ -35,7 +35,7 @@ from jax.scipy.special import logsumexp
 
 from automix_tpu.config import EngineConfig, LOG_ACCEPT_CLAMP
 from automix_tpu.model import ModelSet
-from automix_tpu.ops import linalg, randoms
+from automix_tpu.ops import linalg
 from automix_tpu.state import Proposal
 
 

@@ -33,7 +33,6 @@ from __future__ import annotations
 
 import numpy as np
 import jax.numpy as jnp
-from jax.scipy.special import gammaln
 from scipy.special import gammaln as np_gammaln
 
 from automix_tpu.model import Model, ModelSet

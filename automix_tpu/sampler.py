@@ -27,7 +27,6 @@ import time
 from typing import Optional, Sequence, Union
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from automix_tpu.config import EngineConfig
