@@ -15,7 +15,7 @@ the dimension matching.  Sweeps are compiled into a ``lax.scan`` chunk;
 visit counts / moment sums / acceptance counters are reduced on device per
 chunk and accumulated on host in 64-bit (state.py).
 
-Two TPU-specific choices drive the kernel's shape:
+Three TPU-specific choices drive the kernel's shape:
 
 * **No per-chain gathers.**  Selecting chain s's model parameters as
   ``mu[k[s]]`` lowers to an XLA gather, which on TPU serializes and ends
@@ -23,6 +23,17 @@ Two TPU-specific choices drive the kernel's shape:
   parameter selection is instead one-hot contraction against the small
   [K, ...] proposal tables — MXU matmuls.  Dead-component log-weights use
   a finite -1e30 sentinel instead of -inf so the contractions stay NaN-free.
+* **Quadratic forms by table matmul, not per-chain solves.**  The mixture
+  allocation steps need N(theta; mu_l, B_l B_l^T) log-densities across
+  components (automix.c:1093-1101, 1216-1235).  Evaluating them with
+  per-chain triangular solves materializes an [S, L, D, D] factor tensor
+  and unrolls D^2 dependent FMA steps; instead all per-(model, component)
+  quantities are folded once per chunk into Gram tables (precompute_tables)
+  so each sweep's quadratic forms become two [S, D^2] x [D^2, K*L] MXU
+  matmuls on *centered* coordinates (centering bounds the float32
+  cancellation error of the expanded quadratic; the padded tail contributes
+  exactly zero by the linalg.py padding convention).  Only the single
+  selected component's standardize/de-standardize runs as a batched matvec.
 * **Two random draws per sweep.**  The sweep is op-count heavy, so all its
   uniforms [S, MU] and t/Normal perturbations [S, MZ] come from two batched
   threefry draws sliced at static offsets (one key per chain folded with
@@ -44,7 +55,7 @@ from jax.scipy.special import logsumexp
 
 from automix_tpu.config import EngineConfig, LOG_ACCEPT_CLAMP, NEG_INF
 from automix_tpu.model import ModelSet
-from automix_tpu.ops import linalg, randoms
+from automix_tpu.ops import randoms
 from automix_tpu.state import Chains, Proposal
 
 
@@ -64,20 +75,67 @@ def _gumbel(u):
     return -jnp.log(-jnp.log1p(-u) + 1e-38)
 
 
-def _select_k(onehot_k, table):
-    """[S, K] one-hot x [K, ...] table -> [S, ...] via matmul (no gather)."""
-    K = table.shape[0]
-    flat = table.reshape(K, -1)
-    out = onehot_k @ flat
-    return out.reshape((onehot_k.shape[0],) + table.shape[1:])
+_LOG_2PI = 1.8378770664093453
 
 
-def _select_l(onehot_l, per_chain):
-    """[S, L] one-hot x [S, L, ...] -> [S, ...] via einsum (no gather)."""
-    S, L = onehot_l.shape
-    flat = per_chain.reshape(S, L, -1)
-    out = jnp.einsum("sl,slx->sx", onehot_l, flat)
-    return out.reshape((S,) + per_chain.shape[2:])
+def precompute_tables(prop: Proposal, dims, dtype):
+    """Fold the proposal into per-(model, component) tables for the sweep.
+
+    Computed once per chunk (a pure function of the proposal, which is
+    frozen during stage 3).  Everything is laid out flat over the K*L
+    component axis so per-sweep work is matmuls against small tables:
+
+    * ``binv_flat`` [K*L, D*D]: inverse lower Cholesky factors (identity
+      tail preserved, so padded coordinates pass through untouched);
+    * ``p_flat`` [K*L, D*D]: Gram matrices B^-T B^-1 of the quadratic form;
+    * ``q_flat`` [K*L, D] / ``c0_flat`` [K*L]: linear/constant terms of the
+      expanded quadratic |B^-1 (x - mu)|^2 around *centered* coordinates;
+    * ``center`` [K, D]: per-model mixture mean, subtracted from theta
+      before any quadratic so the expansion never cancels large magnitudes
+      (the change-point positions reach ~4e4, automix's usercpt.c);
+    * ``abase`` [K, L]: log lam_l - log det B_l - (dim_k/2) log 2pi — the
+      non-quadratic part of the allocation logits (automix.c:1093-1101).
+    """
+    K, L, D = prop.mu.shape
+    B = jnp.tril(prop.B.astype(dtype))
+    eye = jnp.broadcast_to(jnp.eye(D, dtype=dtype), B.shape)
+    binv = jax.lax.linalg.triangular_solve(
+        B, eye, left_side=True, lower=True)
+    lam = prop.lam.astype(dtype)
+    mu = prop.mu.astype(dtype)
+    center = jnp.einsum("kl,kld->kd", lam, mu)              # [K, D]
+    mu_c = mu - center[:, None, :]                          # [K, L, D]
+    p = jnp.einsum("kled,klef->kldf", binv, binv)           # B^-T B^-1
+    q = jnp.einsum("kldf,klf->kld", p, mu_c)
+    c0 = jnp.einsum("kld,kld->kl", q, mu_c)
+    loglam = _loglam(lam)
+    dims_f = dims.astype(dtype)
+    abase = loglam - prop.logdetB.astype(dtype) \
+        - 0.5 * dims_f[:, None] * _LOG_2PI
+    return {
+        "binv_flat": binv.reshape(K * L, D * D),
+        "b_flat": B.reshape(K * L, D * D),
+        "p_flat": p.reshape(K * L, D * D),
+        "q_flat": q.reshape(K * L, D),
+        "c0_flat": c0.reshape(K * L),
+        "muc_flat": mu_c.reshape(K * L, D),
+        "logdet_flat": prop.logdetB.astype(dtype).reshape(K * L),
+        "center": center,
+        "abase": abase,
+        "loglam": loglam,
+    }
+
+
+def _alloc_logits(x_c, onehot_k, tab, K: int, L: int):
+    """Allocation logits [S, L] of centered states against their model's
+    mixture: abase - 0.5 |B^-1 (x - mu)|^2 via two table matmuls."""
+    S, D = x_c.shape
+    x2 = (x_c[:, :, None] * x_c[:, None, :]).reshape(S, D * D)
+    quad = (x2 @ tab["p_flat"].T - 2.0 * (x_c @ tab["q_flat"].T)
+            + tab["c0_flat"][None, :])                       # [S, K*L]
+    logits_full = (tab["abase"].reshape(-1)[None, :]
+                   - 0.5 * quad).reshape(S, K, L)
+    return jnp.einsum("sk,skl->sl", onehot_k, logits_full)
 
 
 def rand_slots(dmax: int, lmax: int, nmodels: int):
@@ -112,8 +170,10 @@ def draw_sweep_randoms(keys, sweep, mu_count: int, mz_count: int, dof: int,
 
 def build_sweep_all(modelset: ModelSet, cfg: EngineConfig, burning: bool):
     """Batched one-sweep step over all chains (unjitted):
-    ``sweep_all(chains, prop) -> (chains', stats)`` with stats int32 [S]/
-    scalars per event kind."""
+    ``sweep_all(chains, prop, tables=None) -> (chains', stats)`` with stats
+    int32 [S]/scalars per event kind.  ``tables`` is the output of
+    :func:`precompute_tables`; pass it when running many sweeps against a
+    frozen proposal (the chunk runner computes it once per chunk)."""
     K, D = modelset.nmodels, modelset.dmax
     dims = modelset.dims_device
     dtype = cfg.dtype
@@ -127,9 +187,11 @@ def build_sweep_all(modelset: ModelSet, cfg: EngineConfig, burning: bool):
     else:
         hmc_move = None
 
-    def sweep_all(chains: Chains, prop: Proposal):
+    def sweep_all(chains: Chains, prop: Proposal, tables=None):
         S = chains.k.shape[0]
         L = prop.lam.shape[1]
+        tab = tables if tables is not None else precompute_tables(
+            prop, dims, dtype)
         slots, mu_count, mz_count = rand_slots(D, L, K)
 
         def us(name):
@@ -198,24 +260,26 @@ def build_sweep_all(modelset: ModelSet, cfg: EngineConfig, burning: bool):
         stats["naccrwms"], stats["ntryrwms"] = naccs, ntrys
 
         # ---- (b) reversible jump (automix.c:1087-1256) ------------------
-        loglam_all = _loglam(prop.lam)                         # [K, L]
+        loglam_all = tab["loglam"]                             # [K, L]
         loglam_k = onehot_k @ loglam_all                       # [S, L]
-        mu_k = _select_k(onehot_k, prop.mu)                    # [S, L, D]
-        B_k = _select_k(onehot_k, prop.B)                      # [S, L, D, D]
-        logdet_k = onehot_k @ prop.logdetB                     # [S, L]
 
         # 9.1: allocate current state to a component of model k
-        lp_alloc = linalg.lnormprob(theta[:, None, :], mu_k, B_k,
-                                    dim_k[:, None])            # [S, L]
-        logits = loglam_k + lp_alloc
+        # (automix.c:1093-1123) — logits for all (k, l) via Gram-table
+        # matmuls on centered coordinates, then one-hot select model k.
+        theta_c = theta - onehot_k @ tab["center"]             # [S, D]
+        logits = _alloc_logits(theta_c, onehot_k, tab, K, L)   # [S, L]
         onehot_l = jax.nn.one_hot(
             jnp.argmax(logits + _gumbel(us("alloc")), axis=1), L, dtype=dtype)
         log_palloc = jnp.sum(onehot_l * logits, axis=1) - logsumexp(logits, axis=1)
 
-        # 9.2: standardize (forward substitution, automix.c:1125-1135)
-        mu_kl = _select_l(onehot_l, mu_k)                      # [S, D]
-        B_kl = _select_l(onehot_l, B_k)                        # [S, D, D]
-        work = linalg.forward_substitute(B_kl, (theta - mu_kl) * mask_k)
+        # 9.2: standardize (automix.c:1125-1135): only the selected
+        # component's factor is applied, as a batched matvec with the
+        # precomputed inverse (B^-1 (theta - mu) == B^-1 (theta_c - mu_c)).
+        onehot_kl = (onehot_k[:, :, None]
+                     * onehot_l[:, None, :]).reshape(S, K * L)
+        binv_kl = (onehot_kl @ tab["binv_flat"]).reshape(S, D, D)
+        muc_kl = onehot_kl @ tab["muc_flat"]                   # [S, D]
+        work = jnp.einsum("sde,se->sd", binv_kl, theta_c - muc_kl)
         work = work * mask_k
 
         # 9.3: choose destination model kn ~ pk and component ln ~ lam[kn]
@@ -256,18 +320,18 @@ def build_sweep_all(modelset: ModelSet, cfg: EngineConfig, burning: bool):
         logratio = logratio + jnp.sum(jnp.where(down, lpdf_down, 0.0), axis=1)
 
         # de-standardize into the destination model (automix.c:1206-1211)
-        mu_kn = _select_k(onehot_kn, prop.mu)
-        B_kn = _select_k(onehot_kn, prop.B)
-        logdet_kn = onehot_kn @ prop.logdetB
-        mu_knln = _select_l(onehot_ln, mu_kn)
-        B_knln = _select_l(onehot_ln, B_kn)
-        thetan = (mu_knln + linalg.lower_matvec(B_knln, work_full * mask_kn))
+        onehot_kln = (onehot_kn[:, :, None]
+                      * onehot_ln[:, None, :]).reshape(S, K * L)
+        b_kln = (onehot_kln @ tab["b_flat"]).reshape(S, D, D)
+        muc_kln = onehot_kln @ tab["muc_flat"]                 # [S, D]
+        center_kn = onehot_kn @ tab["center"]                  # [S, D]
+        thetan = (center_kn + muc_kln
+                  + jnp.einsum("sde,se->sd", b_kln, work_full * mask_kn))
         thetan = thetan * mask_kn
 
         # 9.5: reverse-move allocation probability (automix.c:1213-1235)
-        lp_alloc_n = linalg.lnormprob(thetan[:, None, :], mu_kn, B_kn,
-                                      dim_kn[:, None])
-        logits_n = loglam_kn + lp_alloc_n
+        thetan_c = thetan - center_kn
+        logits_n = _alloc_logits(thetan_c, onehot_kn, tab, K, L)
         log_pallocn = (jnp.sum(onehot_ln * logits_n, axis=1)
                        - logsumexp(logits_n, axis=1))
 
@@ -277,8 +341,8 @@ def build_sweep_all(modelset: ModelSet, cfg: EngineConfig, burning: bool):
                     + (log_pallocn - log_palloc)
                     + (jnp.sum(onehot_l * loglam_k, axis=1)
                        - jnp.sum(onehot_ln * loglam_kn, axis=1))
-                    + (jnp.sum(onehot_ln * logdet_kn, axis=1)
-                       - jnp.sum(onehot_l * logdet_k, axis=1)))
+                    + (onehot_kln @ tab["logdet_flat"]
+                       - onehot_kl @ tab["logdet_flat"]))
         acc = us("acc")[:, 0] < _accept_prob(logratio)
         k = jnp.where(acc, kn, k)
         theta = jnp.where(acc[:, None], thetan, theta)
@@ -333,9 +397,13 @@ def build_chunk_runner(modelset: ModelSet, cfg: EngineConfig, burning: bool,
 
     @functools.partial(jax.jit, static_argnums=(2,))
     def runner(chains: Chains, prop: Proposal, n_sweeps: int):
+        # The proposal is frozen for the whole chunk: fold it into the
+        # sweep tables once, outside the scan.
+        tables = precompute_tables(prop, modelset.dims_device, dtype)
+
         def body(carry, _):
             ch, acc = carry
-            ch, stats = sweep_all(ch, prop)
+            ch, stats = sweep_all(ch, prop, tables)
             k, theta = ch.k, ch.theta
             onehot = jax.nn.one_hot(k, K, dtype=dtype)         # [S, K]
             acc = {
