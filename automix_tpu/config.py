@@ -101,11 +101,20 @@ class EngineConfig:
     # Record chain 0's pk / logp / theta trace every sweep (parity with
     # _pk.data/_lp.data/_theta<k>.data writers, logwrite.c:162-220).
     trace_chain0: bool = True
+    # Per-sweep randomness source for stage 3: "fast" (fused avalanche
+    # counter hash, ops/randoms.py — bitwise sharding-invariant, ~3x
+    # cheaper than threefry on the hot path), "threefry" (counter-based
+    # jax.random), "pallas" (TPU hardware-PRNG kernel, kernels/sweep_rng.py
+    # — opt-in; see resolve_rng for why it is not the default), or "auto"
+    # ("fast" for float32 Gaussian runs, "threefry" otherwise).
+    rng: str = "auto"
     dtype: Any = jnp.float32
 
     def __post_init__(self):
         if self.mix_fit not in (FIGUEIREDO_MIX_FIT, AUTORJ_MIX_FIT):
             raise ValueError(f"unknown mix_fit {self.mix_fit!r}")
+        if self.rng not in ("auto", "threefry", "fast", "pallas"):
+            raise ValueError(f"unknown rng {self.rng!r}")
         if self.within_move not in ("rwm", "hmc"):
             raise ValueError(f"unknown within_move {self.within_move!r}")
         if self.within_move == "hmc" and self.student_t_dof > 0:

@@ -168,18 +168,29 @@ def draw_sweep_randoms(keys, sweep, mu_count: int, mz_count: int, dof: int,
     return u, z
 
 
-def build_sweep_all(modelset: ModelSet, cfg: EngineConfig, burning: bool):
+def build_sweep_all(modelset: ModelSet, cfg: EngineConfig, burning: bool,
+                    rng_mode: str = "threefry",
+                    axis_name: Optional[str] = None):
     """Batched one-sweep step over all chains (unjitted):
     ``sweep_all(chains, prop, tables=None) -> (chains', stats)`` with stats
     int32 [S]/scalars per event kind.  ``tables`` is the output of
     :func:`precompute_tables`; pass it when running many sweeps against a
-    frozen proposal (the chunk runner computes it once per chunk)."""
+    frozen proposal (the chunk runner computes it once per chunk).
+
+    ``rng_mode``: "threefry" derives the per-sweep draws from the per-chain
+    keys; "pallas" uses the TPU hardware-PRNG kernel (kernels/sweep_rng.py),
+    seeded by (cfg.seed, sweep, global chain block).  ``axis_name`` names
+    the shard_map chain axis when running sharded, so the pallas path can
+    offset its block indices to global positions."""
     K, D = modelset.nmodels, modelset.dmax
     dims = modelset.dims_device
     dtype = cfg.dtype
     dof = cfg.student_t_dof
     adapt = cfg.adapt and not burning
     coords = jnp.arange(D)
+    if rng_mode == "pallas":
+        from automix_tpu.kernels import sweep_rng
+        rng_interpret = jax.devices()[0].platform != "tpu"
     if cfg.within_move == "hmc":
         from automix_tpu.kernels.hmc import build_hmc_move
         hmc_move = jax.vmap(build_hmc_move(modelset, cfg),
@@ -198,8 +209,23 @@ def build_sweep_all(modelset: ModelSet, cfg: EngineConfig, burning: bool):
             a, b = slots[name]
             return u[:, a:b]
 
-        u, z = draw_sweep_randoms(chains.key, chains.sweep, mu_count,
-                                  mz_count, dof, dtype)
+        if rng_mode in ("pallas", "fast"):
+            chain0 = jnp.int32(0)
+            if axis_name is not None:
+                chain0 = (jax.lax.axis_index(axis_name) * S).astype(jnp.int32)
+        if rng_mode == "fast":
+            u, z = randoms.fast_sweep_randoms(
+                cfg.seed, chains.sweep, chain0, S, mu_count, mz_count, dtype)
+        elif rng_mode == "pallas":
+            from automix_tpu.kernels import sweep_rng
+            cb = sweep_rng.choose_block(S)
+            scal = jnp.stack([jnp.int32(cfg.seed),
+                              chains.sweep.astype(jnp.int32), chain0 // cb])
+            u, z = sweep_rng.draw(scal, S, mu_count, mz_count,
+                                  interpret=rng_interpret)
+        else:
+            u, z = draw_sweep_randoms(chains.key, chains.sweep, mu_count,
+                                      mz_count, dof, dtype)
         k, theta, logp = chains.k, chains.theta, chains.logp
         pk, pkllim, nreinit = chains.pk, chains.pkllim, chains.nreinit
         sweep = chains.sweep
@@ -221,9 +247,10 @@ def build_sweep_all(modelset: ModelSet, cfg: EngineConfig, burning: bool):
             acc = us("rwm")[:, 0] < _accept_prob(lpn - logp)
             theta = jnp.where(acc[:, None], theta_prop, theta)
             logp = jnp.where(acc, lpn, logp)
-            zero = jnp.zeros((S,), jnp.int32)
-            return (theta, logp, acc.astype(jnp.int32),
-                    jnp.ones((S,), jnp.int32), zero, zero)
+            # k * 0 (not jnp.zeros) so the counters carry the chain axis's
+            # varying type under shard_map.
+            zero = k * 0
+            return (theta, logp, acc.astype(jnp.int32), zero + 1, zero, zero)
 
         def componentwise_move(args):
             theta, logp = args
@@ -241,7 +268,7 @@ def build_sweep_all(modelset: ModelSet, cfg: EngineConfig, burning: bool):
                 return (theta, logp, nacc + acc.astype(jnp.int32),
                         ntry + active.astype(jnp.int32))
 
-            zero = jnp.zeros((S,), jnp.int32)
+            zero = k * 0
             theta, logp, nacc, ntry = jax.lax.fori_loop(
                 0, D, coord_body, (theta, logp, zero, zero))
             return theta, logp, zero, zero, nacc, ntry
@@ -251,8 +278,8 @@ def build_sweep_all(modelset: ModelSet, cfg: EngineConfig, burning: bool):
                                         z[:, :D], k, theta, logp, sig_k,
                                         mask_k)
             naccb = acc.astype(jnp.int32)
-            ntryb = jnp.ones((S,), jnp.int32)
-            naccs = ntrys = jnp.zeros((S,), jnp.int32)
+            ntryb = k * 0 + 1
+            naccs = ntrys = k * 0
         else:
             theta, logp, naccb, ntryb, naccs, ntrys = jax.lax.cond(
                 do_block, block_move, componentwise_move, (theta, logp))
@@ -348,7 +375,7 @@ def build_sweep_all(modelset: ModelSet, cfg: EngineConfig, burning: bool):
         theta = jnp.where(acc[:, None], thetan, theta)
         logp = jnp.where(acc, lpn, logp)
         stats["nacctd"] = acc.astype(jnp.int32)
-        stats["ntrytd"] = jnp.ones((S,), jnp.int32)
+        stats["ntrytd"] = k * 0 + 1
 
         # ---- (c) pk diminishing adaptation + re-init safeguard ----------
         # (automix.c:1258-1281); skipped while burning and for K == 1.
@@ -383,66 +410,128 @@ def build_single_sweep(modelset: ModelSet, cfg: EngineConfig,
     return step
 
 
+def _chunk_scan(sweep_all, modelset, cfg, collect, chains, prop, n_sweeps,
+                axis_name=None):
+    """Scan ``n_sweeps`` sweeps, accumulating chunk statistics on device.
+
+    ``axis_name``: the shard_map chain axis, when running sharded — the
+    zero-initialized accumulators must be marked varying over it so the
+    scan carry types match."""
+    K, D = modelset.nmodels, modelset.dmax
+    dtype = cfg.dtype
+    n_trace = cfg.n_trace_chains
+    tables = precompute_tables(prop, modelset.dims_device, dtype)
+
+    def body(carry, _):
+        ch, acc = carry
+        ch, stats = sweep_all(ch, prop, tables)
+        k, theta = ch.k, ch.theta
+        onehot = jax.nn.one_hot(k, K, dtype=dtype)         # [S, K]
+        acc = {
+            "ksummary": acc["ksummary"] + onehot.sum(axis=0).astype(jnp.int32),
+            "theta_sum": acc["theta_sum"] + onehot.T @ theta,
+            "theta_sqsum": acc["theta_sqsum"] + onehot.T @ (theta * theta),
+            "naccrwmb": acc["naccrwmb"] + stats["naccrwmb"].sum(),
+            "ntryrwmb": acc["ntryrwmb"] + stats["ntryrwmb"].sum(),
+            "naccrwms": acc["naccrwms"] + stats["naccrwms"].sum(),
+            "ntryrwms": acc["ntryrwms"] + stats["ntryrwms"].sum(),
+            "nacctd": acc["nacctd"] + stats["nacctd"].sum(),
+            "ntrytd": acc["ntrytd"] + stats["ntrytd"].sum(),
+        }
+        if collect:
+            trace = {
+                "k_trace": k[:n_trace].astype(jnp.int8),
+                "k0_trace": k[0].astype(jnp.int8),
+                "pk0_trace": ch.pk[0],
+                "logp0_trace": ch.logp[0],
+                "theta0_trace": theta[0],
+            }
+        else:
+            trace = None
+        return (ch, acc), trace
+
+    acc0 = {
+        "ksummary": jnp.zeros((K,), jnp.int32),
+        "theta_sum": jnp.zeros((K, D), dtype),
+        "theta_sqsum": jnp.zeros((K, D), dtype),
+        "naccrwmb": jnp.int32(0), "ntryrwmb": jnp.int32(0),
+        "naccrwms": jnp.int32(0), "ntryrwms": jnp.int32(0),
+        "nacctd": jnp.int32(0), "ntrytd": jnp.int32(0),
+    }
+    if axis_name is not None:
+        acc0 = jax.tree.map(
+            lambda x: jax.lax.pvary(x, (axis_name,)), acc0)
+    (chains_out, acc), traces = jax.lax.scan(
+        body, (chains, acc0), None, length=n_sweeps)
+    chunk = dict(acc)
+    if collect and traces is not None:
+        chunk.update(traces)
+    return chains_out, chunk
+
+
 def build_chunk_runner(modelset: ModelSet, cfg: EngineConfig, burning: bool,
-                       collect: bool):
+                       collect: bool, mesh=None):
     """Build a jitted function running ``n`` sweeps over all chains.
 
     ``runner(chains, prop, n_sweeps)`` -> (chains', chunk_stats dict).
     ``n_sweeps`` is static (compiled into the scan length).
+
+    With ``mesh`` (and ``collect=False``) the chunk runs under
+    ``shard_map`` over the chain axis — the production multi-chip path
+    (SURVEY.md section 7 step 6): every array op stays local to its shard
+    and the chunk statistics are reduced once per chunk with a single
+    ``psum``.  This also enables the pallas hardware-PRNG kernel, which is
+    opaque to the jit auto-partitioner but trivially shardable by hand.
+    The collect path (per-sweep chain-0 traces) keeps the auto-sharded jit
+    runner, whose trace slicing spans shards.
     """
-    K, D = modelset.nmodels, modelset.dmax
-    dtype = cfg.dtype
-    sweep_all = build_sweep_all(modelset, cfg, burning)
-    n_trace = cfg.n_trace_chains
+    from automix_tpu.kernels import sweep_rng
+
+    rng_mode = sweep_rng.resolve_rng(cfg)
+
+    if mesh is not None and not collect:
+        from automix_tpu.parallel import mesh as mesh_lib
+
+        axis = mesh_lib.CHAIN_AXIS
+        sweep_all = build_sweep_all(modelset, cfg, burning,
+                                    rng_mode=rng_mode, axis_name=axis)
+        chain_p = jax.sharding.PartitionSpec(axis)
+        rep_p = jax.sharding.PartitionSpec()
+        chains_spec = Chains(key=chain_p, k=chain_p, theta=chain_p,
+                             logp=chain_p, pk=chain_p, pkllim=chain_p,
+                             nreinit=chain_p, sweep=rep_p)
+        prop_spec = jax.tree.map(lambda _: rep_p, Proposal(
+            lam=0, mu=0, B=0, logdetB=0, nmix=0, sig=0))
+
+        @functools.lru_cache(maxsize=None)
+        def _compiled(n_sweeps: int):
+            def local_run(chains, prop):
+                chains, chunk = _chunk_scan(
+                    sweep_all, modelset, cfg, False, chains, prop, n_sweeps,
+                    axis_name=axis)
+                chunk = jax.tree.map(
+                    lambda x: jax.lax.psum(x, axis), chunk)
+                return chains, chunk
+
+            return jax.jit(jax.shard_map(
+                local_run, mesh=mesh,
+                in_specs=(chains_spec, prop_spec),
+                out_specs=(chains_spec, rep_p)))
+
+        def runner(chains: Chains, prop: Proposal, n_sweeps: int):
+            return _compiled(n_sweeps)(chains, prop)
+
+        return runner
+
+    # Single-device / auto-sharded path.  The pallas RNG kernel cannot be
+    # auto-partitioned, so it is only used when no mesh is involved.
+    mode = rng_mode if mesh is None else "threefry"
+    sweep_all = build_sweep_all(modelset, cfg, burning, rng_mode=mode)
 
     @functools.partial(jax.jit, static_argnums=(2,))
     def runner(chains: Chains, prop: Proposal, n_sweeps: int):
-        # The proposal is frozen for the whole chunk: fold it into the
-        # sweep tables once, outside the scan.
-        tables = precompute_tables(prop, modelset.dims_device, dtype)
-
-        def body(carry, _):
-            ch, acc = carry
-            ch, stats = sweep_all(ch, prop, tables)
-            k, theta = ch.k, ch.theta
-            onehot = jax.nn.one_hot(k, K, dtype=dtype)         # [S, K]
-            acc = {
-                "ksummary": acc["ksummary"] + onehot.sum(axis=0).astype(jnp.int32),
-                "theta_sum": acc["theta_sum"] + onehot.T @ theta,
-                "theta_sqsum": acc["theta_sqsum"] + onehot.T @ (theta * theta),
-                "naccrwmb": acc["naccrwmb"] + stats["naccrwmb"].sum(),
-                "ntryrwmb": acc["ntryrwmb"] + stats["ntryrwmb"].sum(),
-                "naccrwms": acc["naccrwms"] + stats["naccrwms"].sum(),
-                "ntryrwms": acc["ntryrwms"] + stats["ntryrwms"].sum(),
-                "nacctd": acc["nacctd"] + stats["nacctd"].sum(),
-                "ntrytd": acc["ntrytd"] + stats["ntrytd"].sum(),
-            }
-            if collect:
-                trace = {
-                    "k_trace": k[:n_trace].astype(jnp.int8),
-                    "k0_trace": k[0].astype(jnp.int8),
-                    "pk0_trace": ch.pk[0],
-                    "logp0_trace": ch.logp[0],
-                    "theta0_trace": theta[0],
-                }
-            else:
-                trace = None
-            return (ch, acc), trace
-
-        acc0 = {
-            "ksummary": jnp.zeros((K,), jnp.int32),
-            "theta_sum": jnp.zeros((K, D), dtype),
-            "theta_sqsum": jnp.zeros((K, D), dtype),
-            "naccrwmb": jnp.int32(0), "ntryrwmb": jnp.int32(0),
-            "naccrwms": jnp.int32(0), "ntryrwms": jnp.int32(0),
-            "nacctd": jnp.int32(0), "ntrytd": jnp.int32(0),
-        }
-        (chains_out, acc), traces = jax.lax.scan(
-            body, (chains, acc0), None, length=n_sweeps)
-        chunk = dict(acc)
-        if collect and traces is not None:
-            chunk.update(traces)
-        return chains_out, chunk
+        return _chunk_scan(sweep_all, modelset, cfg, collect, chains, prop,
+                           n_sweeps)
 
     return runner
 

@@ -76,6 +76,80 @@ def categorical_from_logits(key, logits, axis: int = -1):
     return jax.random.categorical(key, logits, axis=axis)
 
 
+# ---------------------------------------------------------------------------
+# Fast counter-hash sweep randomness (the stage-3 "fast" RNG mode).
+#
+# threefry2x32 costs ~67 VPU ops per 32-bit word — measured 55us of a 147us
+# tutorial sweep at 32768 chains, i.e. the single largest line item of the
+# hot loop.  MCMC accept/reject and proposal noise do not need a
+# cryptographic generator; what they need is (a) avalanche-quality mixing of
+# a unique per-value counter, (b) a period that cannot recycle within a run,
+# and (c) position-based indexing so sharding is a pure layout change.
+#
+# Each 32-bit output word is the XOR of two independent integer hashes
+# (triple32 and lowbias32, both full-avalanche finalizers from the
+# hash-prospector project) of the value's unique counter, each salted by a
+# different 32-bit digest of (seed, sweep).  A single 32-bit salt would
+# birthday-collide across ~2^16 sweeps; the XOR of two independently salted
+# hashes gives an effective 64-bit (seed, sweep) state, so stream reuse is
+# impossible in any realistic run.  Statistical quality is validated in
+# tests/test_sweep_rng.py and by the exact-posterior suite, which runs the
+# full sampler on this generator.
+# ---------------------------------------------------------------------------
+
+_U = jnp.uint32
+
+
+def _triple32(x):
+    x = x ^ (x >> 17)
+    x = x * _U(0xED5AD4BB)
+    x = x ^ (x >> 11)
+    x = x * _U(0xAC4C1B51)
+    x = x ^ (x >> 15)
+    x = x * _U(0x31848BAB)
+    return x ^ (x >> 14)
+
+
+def _lowbias32(x):
+    x = x ^ (x >> 16)
+    x = x * _U(0x7FEB352D)
+    x = x ^ (x >> 15)
+    x = x * _U(0x846CA68B)
+    return x ^ (x >> 16)
+
+
+def counter_bits(seed, sweep, counters):
+    """Avalanche-hashed random words for unique uint32 ``counters``."""
+    seed = jnp.asarray(seed).astype(_U)
+    sweep = jnp.asarray(sweep).astype(_U)
+    salt1 = _triple32(sweep ^ (seed * _U(0x9E3779B9)))
+    salt2 = _lowbias32(sweep + _U(0x85EBCA6B) + seed * _U(0xC2B2AE35))
+    c = counters.astype(_U)
+    return _triple32(c ^ salt1) ^ _lowbias32(c + salt2)
+
+
+def _bits_to_uniform(bits, dtype):
+    """Top 24 bits -> strictly interior uniforms in (0, 1)."""
+    return (bits >> 8).astype(dtype) * dtype(2.0 ** -24) + dtype(2.0 ** -25)
+
+
+def fast_sweep_randoms(seed, sweep, chain0, n_chains: int, mu_count: int,
+                       mz_count: int, dtype=jnp.float32):
+    """Per-sweep uniforms [S, MU] and normals [S, MZ] from the counter
+    hash.  ``chain0`` is this shard's global chain offset (0 unsharded);
+    draws depend only on (seed, sweep, global chain index) — resumable and
+    bitwise sharding-invariant."""
+    w = mu_count + mz_count
+    rows = (chain0 + jnp.arange(n_chains, dtype=jnp.int32)).astype(_U)
+    counters = rows[:, None] * _U(w) + jnp.arange(w, dtype=_U)[None, :]
+    bits = counter_bits(seed, sweep, counters)
+    uall = _bits_to_uniform(bits, jnp.dtype(dtype).type)
+    u = uall[:, :mu_count]
+    z = jnp.sqrt(jnp.asarray(2.0, dtype)) * jax.lax.erf_inv(
+        2.0 * uall[:, mu_count:] - 1.0)
+    return u, z
+
+
 def masked_permutation(key, n_active, dmax: int):
     """Per-call random permutation indices of the first ``n_active`` slots.
 

@@ -68,7 +68,8 @@ class AMSampler:
         kk = (burning, collect)
         if kk not in self._runners:
             self._runners[kk] = rjmcmc.build_chunk_runner(
-                self.modelset, self.cfg, burning=burning, collect=collect)
+                self.modelset, self.cfg, burning=burning, collect=collect,
+                mesh=self.mesh)
         return self._runners[kk]
 
     def _ensure_proposal(self):
