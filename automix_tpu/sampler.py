@@ -91,14 +91,20 @@ class AMSampler:
         runner = self._runner(burning, collect)
         chunk_len = self.cfg.sweep_chunk
         done = 0
+        chunks = []
         while done < nsweeps:
             n = min(chunk_len, nsweeps - done)
             self.chains, chunk = runner(self.chains, self.proposal, n)
             if stats is not None:
-                chunk = jax.device_get(chunk)
-                stats.absorb_chunk(chunk)
+                # Keep chunk results on device; a host sync per chunk would
+                # serialize the dispatch pipeline (and costs a round trip
+                # when the device is remote).  All transfers happen below.
+                chunks.append(chunk)
             done += n
         jax.block_until_ready(self.chains.theta)
+        if stats is not None and chunks:
+            for chunk in jax.device_get(chunks):
+                stats.absorb_chunk(chunk)
 
     # -- public API -------------------------------------------------------
 
