@@ -76,6 +76,41 @@ def sokal_batched(traces):
     }
 
 
+def split_rhat(traces):
+    """Split-R̂ (Gelman–Rubin) over a [nsweep, n_chains] trace batch.
+
+    Engine-native diagnostic with no reference counterpart (the reference
+    runs exactly one chain, automix.c:90-125): each chain's trace is split
+    in half, and R̂ = sqrt(((n-1)/n + B/(n W)) ) compares between-half
+    variance B to within-half variance W.  Values near 1 indicate the
+    chains agree; > 1.01 flags non-convergence.
+    """
+    x = np.asarray(traces, np.float64)
+    if x.ndim == 1:
+        x = x[:, None]
+    n = (x.shape[0] // 2) * 2
+    halves = x[:n].T.reshape(-1, 2, n // 2).reshape(-1, n // 2)  # [2S, n/2]
+    m, hn = halves.shape
+    means = halves.mean(axis=1)
+    w = halves.var(axis=1, ddof=1).mean()
+    b = hn * means.var(ddof=1)
+    if w <= 0.0:
+        return 1.0 if b <= 0.0 else float("inf")
+    return float(np.sqrt((hn - 1) / hn + b / (hn * w)))
+
+
+def ess(traces):
+    """Cross-chain effective sample size of a [nsweep, n_chains] batch:
+    total draws deflated by the mean Sokal IACT (tau already uses the
+    reference's sum-over-all-lags convention, so ESS = N / max(tau, 1))."""
+    x = np.asarray(traces)
+    if x.ndim == 1:
+        x = x[:, None]
+    res = sokal_batched(x)
+    total = x.shape[0] * x.shape[1]
+    return total / max(res["tau_mean"], 1.0)
+
+
 def acceptance_rates(stats):
     """Acceptance-rate summary, the `_log.data` block (logwrite.c:334-339)."""
     def rate(a, b):

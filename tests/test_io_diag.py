@@ -100,3 +100,36 @@ def test_reports_write_all_files(tmp_path):
     log = open(f"{stem}_log.data").read()
     assert "Posterior Model Probabilities:" in log
     assert "Acceptance Rates:" in log
+
+
+def test_split_rhat_iid_near_one():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2000, 32))
+    r = diagnostics.split_rhat(x)
+    assert 0.99 < r < 1.01
+
+
+def test_split_rhat_flags_disagreeing_chains():
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((2000, 32))
+    x[:, :16] += 5.0          # half the chains stuck in another mode
+    assert diagnostics.split_rhat(x) > 1.5
+
+
+def test_ess_iid_close_to_total():
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((1024, 16))
+    e = diagnostics.ess(x)
+    total = 1024 * 16
+    assert 0.3 * total < e <= 1.5 * total
+
+
+def test_ess_correlated_much_smaller():
+    rng = np.random.default_rng(3)
+    n, s = 4096, 8
+    x = np.zeros((n, s))
+    eps = rng.standard_normal((n, s))
+    for t in range(1, n):
+        x[t] = 0.98 * x[t - 1] + eps[t]     # AR(1), tau ~ 2/(1-phi) ~ 100
+    e = diagnostics.ess(x)
+    assert e < 0.05 * n * s
