@@ -90,3 +90,55 @@ def test_autorj_mode_runs():
     am.burn_samples(100)
     stats = am.rjmcmc_samples(400)
     assert abs(stats.theta_mean()[0, 0] - 0.5) < 0.15
+
+
+def test_beta_sampler_support_and_moments():
+    """Scenario 3 (tests/test_automix.c:63-68): Beta(2,2), mean 0.5,
+    support (0,1) never violated (the c test's bounds assertion,
+    tests/test_automix.c:158-163)."""
+    am = AMSampler(builtin.beta_sampler_set(), _small_cfg())
+    am.burn_samples(200)
+    stats = am.rjmcmc_samples(800)
+    assert abs(stats.theta_mean()[0, 0] - 0.5) < 0.1
+    # Beta(2,2) sd = sqrt(1/20) ~ 0.2236
+    assert abs(stats.theta_std()[0, 0] - 0.2236) < 0.1
+    theta = np.asarray(am.chains.theta[:, 0])
+    assert np.all((theta > 0.0) & (theta < 1.0))
+
+
+def test_normal_params_inference():
+    """Scenario 4 (tests/test_automix.c:70-76): E[sigma]~0.2, E[x0]~0.5."""
+    am = AMSampler(builtin.normal_params_set(), _small_cfg(seed=8))
+    am.burn_samples(300)
+    stats = am.rjmcmc_samples(1000)
+    means = stats.theta_mean()[0]
+    assert abs(means[0] - 0.2) < 0.2
+    assert abs(means[1] - 0.5) < 0.2
+
+
+def test_beta_params_inference():
+    """Scenario 5 (tests/test_automix.c:78-84): E[alpha]~4.5, E[beta]~5.0."""
+    am = AMSampler(builtin.beta_params_set(), _small_cfg(seed=9))
+    am.burn_samples(300)
+    stats = am.rjmcmc_samples(1200)
+    means = stats.theta_mean()[0]
+    assert abs(means[0] - 4.5) < 1.5
+    assert abs(means[1] - 5.0) < 1.5
+
+
+def test_gamma_params_inference():
+    """Scenario 6 (tests/test_automix.c:86-92): E[alpha]~7.0, E[beta]~14.5."""
+    am = AMSampler(builtin.gamma_params_set(), _small_cfg(seed=10))
+    am.burn_samples(300)
+    stats = am.rjmcmc_samples(1200)
+    means = stats.theta_mean()[0]
+    assert abs(means[0] - 7.0) < 2.5
+    assert abs(means[1] - 14.5) < 5.0
+
+
+def test_two_model_normal_gamma():
+    """Scenario 9 (tests/test_automix.c:116-125): p(M=Normal)~0.97."""
+    am = AMSampler(builtin.normal_gamma_set(), _small_cfg(seed=13))
+    am.burn_samples(300)
+    stats = am.rjmcmc_samples(1200)
+    assert abs(stats.model_probs[0] - 0.97) < 0.15, stats.model_probs
