@@ -181,34 +181,42 @@ def _make_logp(data, design, fixed, d_re, n_fix, c_prior, dmin1, r_diag,
         c_all = (c_all + var * isdiag[None, :]) * valid_p \
             + (1.0 - valid_p) * isdiag[None, :]
         C = {ab: c_all[:, p] for ab, p in pair_col.items()}
-        # unrolled Cholesky on the entries (cf. automix.c:1682-1701)
+        # unrolled Cholesky on the entries (cf. automix.c:1682-1701),
+        # division-free: one rsqrt per pivot replaces the sqrt + the
+        # divisions by L_aa in both the column scaling and the solve, and
+        # the log-determinant is one log of the pivot product instead of
+        # vmax logs — the entrywise pipeline is VPU-transcendental-bound.
         L = {}
+        rdiag = []
+        dprod = 1.0
         for a in range(vmax):
             s = C[(a, a)]
             for t in range(a):
                 s = s - L[(a, t)] * L[(a, t)]
-            L[(a, a)] = jnp.sqrt(s)
+            ra = jax.lax.rsqrt(s)
+            rdiag.append(ra)
+            L[(a, a)] = s * ra
+            dprod = dprod * s
             for b in range(a + 1, vmax):
-                s = C[(b, a)]
+                s2 = C[(b, a)]
                 for t in range(a):
-                    s = s - L[(b, t)] * L[(a, t)]
-                L[(b, a)] = s / L[(a, a)]
+                    s2 = s2 - L[(b, t)] * L[(a, t)]
+                L[(b, a)] = s2 * ra
         lik_ok = jnp.all(jnp.stack(
-            [jnp.all(jnp.isfinite(L[(a, a)])) for a in range(vmax)]))
+            [jnp.all(jnp.isfinite(r)) for r in rdiag]))
         # forward substitution + quadratic form + log-determinant
         mu = jnp.einsum("nvf,f->nv", Xd, fixed_fx)
         resid = (Y - mu) * vmask
         w = []
         quad = 0.0
-        logdet = 0.0
         for a in range(vmax):
             s = resid[:, a]
             for t in range(a):
                 s = s - L[(a, t)] * w[t]
-            wa = s / L[(a, a)]
+            wa = s * rdiag[a]
             w.append(wa)
             quad = quad + wa * wa
-            logdet = logdet + jnp.log(jnp.abs(L[(a, a)]))
+        logdet = 0.5 * jnp.log(dprod)       # prod of pivots s_a = L_aa^2
         sdim = S.astype(dtype)
         llh = jnp.sum(-0.5 * quad - 0.5 * sdim * _LOG_2PI - logdet)
 
@@ -219,7 +227,103 @@ def _make_logp(data, design, fixed, d_re, n_fix, c_prior, dmin1, r_diag,
     return logp
 
 
-def ddi_set(dtype=jnp.float32, **kw) -> ModelSet:
+def _make_batched_logpost(data, dtype, interpret):
+    """Fused batched log-posterior ``(k [S], theta [S, 16]) -> [S]``.
+
+    The likelihood runs in the fused Pallas kernel (models/ddi_pallas.py);
+    the chain-dependent prep stays in plain JAX but *batched and
+    closed-form*: V = precision^{-1} via the 2x2/3x3 adjugate (elementwise
+    over chains — no per-chain linalg), positive-definiteness via leading
+    principal minors (Sylvester), and the same prior expressions as the
+    scalar path.  Both models are evaluated for every chain (the dense-
+    batch contract of ModelSet.logpost_batch) and selected by k.
+    """
+    from automix_tpu.models.ddi_pallas import build_ddi_llh
+
+    llh0 = build_ddi_llh(data["W"], data["X"], data["Y"], data["visit_mask"],
+                         data["S"], dtype=dtype, interpret=interpret)
+    llh1 = build_ddi_llh(data["Q"], data["P"], data["Y"], data["visit_mask"],
+                         data["S"], dtype=dtype, interpret=interpret)
+
+    def prior_common(fx, c_prior, dmin1, r_diag_diag, log_det_prec, var,
+                     d_re, n_fix, wish_const):
+        norm_const = 0.5 * float(np.sum(np.log(np.asarray(dmin1)))) \
+            - (n_fix / 2.0) * np.log(2.0 * np.pi)
+        ig_const = -A_HYP * np.log(B_HYP) - float(np_gammaln(A_HYP))
+        ok = var > 0.0
+        vsafe = jnp.where(ok, var, 1.0)
+        lp = norm_const - 0.5 * jnp.sum(
+            (fx - jnp.asarray(c_prior, dtype)) ** 2
+            * jnp.asarray(dmin1, dtype), axis=1)
+        lp = lp + ((RHO - d_re - 1.0) / 2.0) * log_det_prec
+        lp = lp - 0.5 * RHO * r_diag_diag
+        lp = lp + wish_const
+        lp = lp + (-(A_HYP + 1.0) * jnp.log(vsafe) - 1.0 / (B_HYP * vsafe)
+                   + ig_const)
+        return lp, ok
+
+    wish0 = _wishart_const(3, R0_DIAG)
+    wish1 = _wishart_const(2, R1_DIAG)
+    r0 = jnp.asarray(R0_DIAG, dtype)
+    r1 = jnp.asarray(R1_DIAG, dtype)
+
+    def model0(theta):
+        fx = theta[:, :9]
+        a, b, c = theta[:, 9], theta[:, 10], theta[:, 11]
+        d, e, f = theta[:, 12], theta[:, 13], theta[:, 14]
+        var = theta[:, 15]
+        m2 = a * c - b * b
+        det = a * (c * f - e * e) - b * (b * f - e * d) + d * (b * e - c * d)
+        posdef = (a > 0.0) & (m2 > 0.0) & (det > 0.0)
+        dsafe = jnp.where(posdef, det, 1.0)
+        inv = 1.0 / dsafe
+        v00 = (c * f - e * e) * inv
+        v01 = (d * e - b * f) * inv
+        v02 = (b * e - c * d) * inv
+        v11 = (a * f - d * d) * inv
+        v12 = (b * d - a * e) * inv
+        v22 = m2 * inv
+        v_vec = jnp.stack(
+            [v00, v01, v02, v01, v11, v12, v02, v12, v22], axis=1)
+        log_det_prec = jnp.log(dsafe)
+        rdd = r0[0] * a + r0[1] * c + r0[2] * f
+        lp, ok = prior_common(fx, C0, D0MIN1, rdd, log_det_prec, var,
+                              3, 9, wish0)
+        llh = llh0(v_vec, var, fx)
+        good = ok & posdef & jnp.isfinite(llh)
+        return jnp.where(good, lp + llh, REJECT)
+
+    def model1(theta):
+        fx = theta[:, :6]
+        a, b, c = theta[:, 6], theta[:, 7], theta[:, 8]
+        var = theta[:, 9]
+        det = a * c - b * b
+        posdef = (a > 0.0) & (det > 0.0)
+        dsafe = jnp.where(posdef, det, 1.0)
+        inv = 1.0 / dsafe
+        v_vec = jnp.stack(
+            [c * inv, -b * inv, -b * inv, a * inv], axis=1)
+        log_det_prec = jnp.log(dsafe)
+        rdd = r1[0] * a + r1[1] * c
+        lp, ok = prior_common(fx, C1, D1MIN1, rdd, log_det_prec, var,
+                              2, 6, wish1)
+        llh = llh1(v_vec, var, fx)
+        good = ok & posdef & jnp.isfinite(llh)
+        return jnp.where(good, lp + llh, REJECT)
+
+    def batched_logpost(k, theta_pad):
+        theta_pad = theta_pad.astype(dtype)
+        lp0 = model0(theta_pad)
+        lp1 = model1(theta_pad)
+        return jnp.where(k == 0, lp0, lp1)
+
+    return batched_logpost
+
+
+def ddi_set(dtype=jnp.float32, fused="auto", **kw) -> ModelSet:
+    """``fused``: use the Pallas fused-likelihood batched path for the hot
+    loop ("auto": only on TPU backends; True forces it, interpreting the
+    kernel off-TPU — slow, for parity tests; False: vmapped lax.switch)."""
     data = _load_data()
 
     logp0 = _make_logp(data, data["W"], data["X"], d_re=3, n_fix=9,
@@ -235,7 +339,14 @@ def ddi_set(dtype=jnp.float32, **kw) -> ModelSet:
     init0 = np.concatenate([C0, [1.0, 0.0, 1.0, 0.0, 0.0, 1.0], [100.0]])
     init1 = np.concatenate([C1, [1.0, 0.0, 1.0], [100.0]])
 
+    if fused == "auto":
+        fused = jax.default_backend() == "tpu"
+    batched = None
+    if fused:
+        interpret = jax.default_backend() != "tpu"
+        batched = _make_batched_logpost(data, dtype, interpret)
+
     return ModelSet([
         Model("ddi_full", 16, logp0, init=init0),
         Model("ddi_reduced", 10, logp1, init=init1),
-    ], dtype=dtype, **kw)
+    ], dtype=dtype, batched_logpost=batched, **kw)
