@@ -98,6 +98,11 @@ class EngineConfig:
     # Sokal autocorrelation diagnostics and _k.data-style output).  The
     # reference records its single chain (automix.c:101,122-124).
     n_trace_chains: int = 8
+    # Device->host flush interval of the chunk-statistics pipeline, in
+    # chunks.  Bounds device memory held by per-sweep traces (each chunk of
+    # a collect=True run keeps [sweep_chunk, ...] trace arrays alive until
+    # flushed) while still letting several dispatches pipeline.
+    chunk_flush_every: int = 8
     # Record chain 0's pk / logp / theta trace every sweep (parity with
     # _pk.data/_lp.data/_theta<k>.data writers, logwrite.c:162-220).
     trace_chain0: bool = True
@@ -117,6 +122,16 @@ class EngineConfig:
             raise ValueError(f"unknown rng {self.rng!r}")
         if self.within_move not in ("rwm", "hmc"):
             raise ValueError(f"unknown within_move {self.within_move!r}")
+        if self.rng in ("fast", "pallas") and self.student_t_dof > 0:
+            # The fast counter-hash and pallas hardware-PRNG paths emit
+            # N(0,1) perturbations only, while the RJ acceptance ratio
+            # accounts for the latent with a t(dof) density
+            # (rjmcmc.py latent_log_pdf) — combining them would silently
+            # break detailed balance.  rng="auto" routes t runs to threefry.
+            raise ValueError(
+                f"rng={self.rng!r} draws Gaussian perturbations and cannot "
+                "be combined with student_t_dof > 0; use rng='auto' or "
+                "'threefry' for Student-t runs")
         if self.within_move == "hmc" and self.student_t_dof > 0:
             raise ValueError(
                 "within_move='hmc' uses Gaussian momenta; combine it with "

@@ -36,6 +36,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 _TWO_PI = 6.283185307179586
 _INV_2_24 = float(2.0 ** -24)
+_INV_2_25 = float(2.0 ** -25)
 
 # Chains per grid block. Fixed so the (seed, sweep, block) -> bits mapping
 # is a pure function of the chain's global index, independent of sharding.
@@ -52,12 +53,15 @@ def choose_block(s_local: int) -> int:
 
 
 def _uniform01(bits):
-    """Random words -> float32 uniforms in [0, 1 - 2^-24] (top 24 bits).
+    """Random words -> float32 uniforms strictly inside (0, 1): top 24 bits
+    plus the half-ulp offset, matching the fast counter-hash path's
+    contract (ops/randoms.py _bits_to_uniform) — u == 0 would force
+    unconditional MH acceptance and an extreme Gumbel value.
 
     The logical-shifted top 24 bits fit in an int32, which Mosaic can cast
     to float32 (uint32 -> float32 casts are unsupported)."""
     top24 = pltpu.bitcast(pltpu.bitcast(bits, jnp.uint32) >> 8, jnp.int32)
-    return top24.astype(jnp.float32) * _INV_2_24
+    return top24.astype(jnp.float32) * _INV_2_24 + _INV_2_25
 
 
 def _kernel(scal_ref, u_ref, z_ref, *, mu: int, n_pairs: int, mz: int,

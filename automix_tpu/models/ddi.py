@@ -188,7 +188,7 @@ def _make_logp(data, design, fixed, d_re, n_fix, c_prior, dmin1, r_diag,
         # vmax logs — the entrywise pipeline is VPU-transcendental-bound.
         L = {}
         rdiag = []
-        dprod = 1.0
+        pivs = []
         for a in range(vmax):
             s = C[(a, a)]
             for t in range(a):
@@ -196,7 +196,7 @@ def _make_logp(data, design, fixed, d_re, n_fix, c_prior, dmin1, r_diag,
             ra = jax.lax.rsqrt(s)
             rdiag.append(ra)
             L[(a, a)] = s * ra
-            dprod = dprod * s
+            pivs.append(s)
             for b in range(a + 1, vmax):
                 s2 = C[(b, a)]
                 for t in range(a):
@@ -216,7 +216,16 @@ def _make_logp(data, design, fixed, d_re, n_fix, c_prior, dmin1, r_diag,
             wa = s * rdiag[a]
             w.append(wa)
             quad = quad + wa * wa
-        logdet = 0.5 * jnp.log(dprod)       # prod of pivots s_a = L_aa^2
+        # log-determinant from pairwise pivot products: one product over
+        # all pivots (scale ~ var each) overflows float32 when the error
+        # variance is large during exploration; pairs stay finite while
+        # still halving the log count vs a per-pivot sum.
+        ld2 = 0.0
+        for a in range(0, vmax - 1, 2):
+            ld2 = ld2 + jnp.log(pivs[a] * pivs[a + 1])
+        if vmax % 2:
+            ld2 = ld2 + jnp.log(pivs[-1])
+        logdet = 0.5 * ld2                  # pivots s_a = L_aa^2
         sdim = S.astype(dtype)
         llh = jnp.sum(-0.5 * quad - 0.5 * sdim * _LOG_2PI - logdet)
 

@@ -120,7 +120,7 @@ def build_ddi_llh(design, fixed, Y, vmask, S_counts, dtype=jnp.float32,
         # visits/patients carry identity entries so their pivots are 1.
         L = {}
         rdiag = []
-        dprod = None
+        pivs = []
         for a in range(vmax):
             s = C[(a, a)]
             for t in range(a):
@@ -128,7 +128,7 @@ def build_ddi_llh(design, fixed, Y, vmask, S_counts, dtype=jnp.float32,
             ra = jax.lax.rsqrt(s)
             rdiag.append(ra)
             L[(a, a)] = s * ra
-            dprod = s if dprod is None else dprod * s
+            pivs.append(s)
             for b in range(a + 1, vmax):
                 s2 = C[(b, a)]
                 for t in range(a):
@@ -148,7 +148,17 @@ def build_ddi_llh(design, fixed, Y, vmask, S_counts, dtype=jnp.float32,
             w.append(wa)
             quad = wa * wa if quad is None else quad + wa * wa
 
-        acc = (-0.5 * quad - 0.5 * jnp.log(dprod)) + sconst_ref[0:1, :]
+        # Pairwise pivot products bound the magnitude fed to each log (a
+        # full product overflows float32 at large error variances) while
+        # halving the log count vs a per-pivot sum.
+        ld2 = None
+        for a in range(0, vmax - 1, 2):
+            term = jnp.log(pivs[a] * pivs[a + 1])
+            ld2 = term if ld2 is None else ld2 + term
+        if vmax % 2:
+            term = jnp.log(pivs[-1])
+            ld2 = term if ld2 is None else ld2 + term
+        acc = (-0.5 * quad - 0.5 * ld2) + sconst_ref[0:1, :]
         # Lane-fold the patient axis to 128 partials (full reduction
         # happens outside); keeps the output tile layout-friendly.
         folded = acc[:, 0:LANE]

@@ -92,19 +92,28 @@ class AMSampler:
         chunk_len = self.cfg.sweep_chunk
         done = 0
         chunks = []
+
+        def flush():
+            for c in jax.device_get(chunks):
+                stats.absorb_chunk(c)
+            chunks.clear()
+
         while done < nsweeps:
             n = min(chunk_len, nsweeps - done)
             self.chains, chunk = runner(self.chains, self.proposal, n)
             if stats is not None:
-                # Keep chunk results on device; a host sync per chunk would
-                # serialize the dispatch pipeline (and costs a round trip
-                # when the device is remote).  All transfers happen below.
+                # Keep a bounded window of chunk results on device (a host
+                # sync per chunk would serialize the dispatch pipeline), but
+                # flush periodically: with collect=True each chunk holds
+                # per-sweep traces, so an unbounded list grows device memory
+                # linearly with nsweeps.
                 chunks.append(chunk)
+                if len(chunks) >= self.cfg.chunk_flush_every:
+                    flush()
             done += n
         jax.block_until_ready(self.chains.theta)
         if stats is not None and chunks:
-            for chunk in jax.device_get(chunks):
-                stats.absorb_chunk(chunk)
+            flush()
 
     # -- public API -------------------------------------------------------
 
