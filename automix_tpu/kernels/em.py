@@ -17,7 +17,12 @@ automix.c:1008-1033), re-designed for fixed shapes:
   once a model has converged, so it vmaps over all K models at once;
 * all sufficient statistics are sample-axis matmul reductions
   (automix.c:773-811), which makes them `psum`-able when the sample axis is
-  sharded.
+  sharded: with ``mesh``, ``fit_proposal`` runs the fit under ``shard_map``
+  with the stage-1 sample axis sharded, every sample-axis reduction
+  (responsibility sums, weighted means, weighted Gram matrices, mixture
+  log-likelihood) crossed with one ``psum``, and only the tiny component
+  *seeding* step gathering the samples — the multi-chip/multi-host path
+  where stage-1 output never leaves its shard.
 """
 
 from __future__ import annotations
@@ -39,10 +44,27 @@ from automix_tpu.state import Proposal
 _NEG = -jnp.inf
 
 
-def _e_step(lam, alive, lpdata):
+def _identity(x):
+    return x
+
+
+def _gather_invariant(x, axis_name, axis_size):
+    """All-gather the shard-local sample block into a *replicated-typed*
+    array: psum of shard-offset scatters.  ``jax.lax.all_gather`` types its
+    output as varying under the shard_map VMA checker even though every
+    shard holds identical values; psum yields the invariant type the
+    downstream (replicated) EM decisions need."""
+    i = jax.lax.axis_index(axis_name)
+    buf = jnp.zeros((axis_size,) + x.shape, x.dtype).at[i].set(x)
+    buf = jax.lax.psum(buf, axis_name)
+    return buf.reshape((axis_size * x.shape[0],) + x.shape[1:])
+
+
+def _e_step(lam, alive, lpdata, psum=_identity):
     """Responsibilities + mixture log-likelihood (automix.c:846-867).
 
     Returns (w [N, L], lpn scalar).  Dead slots get zero responsibility.
+    ``psum`` reduces the (possibly sharded) sample axis.
     """
     alive_f = alive.astype(lpdata.dtype)
     n_alive = jnp.maximum(alive_f.sum(), 1.0)
@@ -54,7 +76,7 @@ def _e_step(lam, alive, lpdata):
     softmax = softmax * alive_f[None, :]
     uniform = alive_f[None, :] / n_alive
     w = jnp.where(degenerate[:, None], uniform, softmax)
-    lpn = jnp.sum(jnp.where(degenerate, EM_DEGENERATE_PENALTY, logsum))
+    lpn = psum(jnp.sum(jnp.where(degenerate, EM_DEGENERATE_PENALTY, logsum)))
     return w, lpn
 
 
@@ -73,14 +95,28 @@ def _renormalize(lam, alive):
     return lam / jnp.maximum(lam.sum(), 1e-38)
 
 
-def fit_figueiredo(samples, dim, key, lmax: int, max_iters: int):
+def fit_figueiredo(samples, dim, key, lmax: int, max_iters: int,
+                   axis_name=None, axis_size=1):
     """Fit one model's mixture.  ``samples`` [N, D] padded, ``dim`` scalar.
 
     Returns dict with lam/mu/B [lmax,...], alive mask, nmix, iteration
     count, and per-iteration telemetry (Lkk / lpn / cost / annihilations —
     the engine's ``fitmix_*`` cpstats, automix.h:164-168).
+
+    With ``axis_name`` (running under ``shard_map`` with the sample axis
+    sharded), every sample-axis reduction crosses the mesh with a ``psum``;
+    only component seeding gathers the samples.  All while_loop decisions
+    depend on globally-reduced scalars, so the loop stays in lockstep
+    across shards.
     """
-    N, D = samples.shape
+    if axis_name is None:
+        psum = _identity
+        samples_g = samples
+    else:
+        def psum(x):
+            return jax.lax.psum(x, axis_name)
+        samples_g = _gather_invariant(samples, axis_name, axis_size)
+    N, D = samples_g.shape
     dtype = samples.dtype
     dimf = dim.astype(dtype)
     nparams = dimf + dimf * (dimf + 1.0) / 2.0        # automix.c:751
@@ -91,12 +127,14 @@ def fit_figueiredo(samples, dim, key, lmax: int, max_iters: int):
     # reference always fits >= 1000*mdim samples against <= 30 components;
     # when the engine is configured with fewer stage-1 samples, seeding the
     # full lmax would overfit into degenerate components, so the initial
-    # live count is capped at ~N/20 (and never exceeds N).
+    # live count is capped at ~N/20 (and never exceeds N).  Seeding uses
+    # the *gathered* samples so the sharded fit starts identically to the
+    # unsharded one.
     l_init = max(1, min(lmax, N // 20 if N >= 20 else 1))
     idx = jax.random.choice(key, N, (min(lmax, N),), replace=False)
     idx = jnp.resize(idx, (lmax,))
-    mu0 = samples[idx]                                 # [L, D]
-    var = samples.var(axis=0) * coord_mask             # biased var, /n as in C
+    mu0 = samples_g[idx]                               # [L, D]
+    var = samples_g.var(axis=0) * coord_mask           # biased var, /n as in C
     sigma = var.sum() / (10.0 * dimf)
     diag0 = jnp.where(jnp.arange(D) < dim, jnp.sqrt(sigma), 1.0)
     B0 = jnp.broadcast_to(jnp.diag(diag0), (lmax, D, D))
@@ -105,7 +143,7 @@ def fit_figueiredo(samples, dim, key, lmax: int, max_iters: int):
 
     lpdata0 = jax.vmap(
         lambda m, b: linalg.lnormprob(samples, m, b, dim), out_axes=1)(mu0, B0)
-    w0, lpn0 = _e_step(lam0, alive0, lpdata0)
+    w0, lpn0 = _e_step(lam0, alive0, lpdata0, psum)
 
     tele0 = {
         "Lkk": jnp.zeros((max_iters,), jnp.int32),
@@ -132,7 +170,7 @@ def fit_figueiredo(samples, dim, key, lmax: int, max_iters: int):
         process = alive[l1]
         natann = st["natann"]
 
-        sumw = w.sum(axis=0)                                     # [L]
+        sumw = psum(w.sum(axis=0))                               # [L]
         wnew = jnp.maximum(sumw - nparams / 2.0, 0.0) * alive.astype(lam.dtype)
         lam_upd = lam.at[l1].set(wnew[l1] / jnp.maximum(wnew.sum(), 1e-38))
         lam_upd = _renormalize(lam_upd, alive)
@@ -141,9 +179,9 @@ def fit_figueiredo(samples, dim, key, lmax: int, max_iters: int):
         # branch A: refit component l1 (automix.c:796-818)
         wl = w[:, l1]
         sw = jnp.maximum(sumw[l1], 1e-38)
-        mean = (wl @ samples) / sw * coord_mask
+        mean = psum(wl @ samples) / sw * coord_mask
         xc = (samples - mean) * coord_mask
-        cov = jnp.einsum("n,ni,nj->ij", wl, xc, xc) / sw
+        cov = psum(jnp.einsum("n,ni,nj->ij", wl, xc, xc)) / sw
         cov = jnp.where(jnp.isfinite(cov), cov, jnp.eye(D, dtype=dtype))
         B_l1 = linalg.chol(cov, dim=dim, jitter=1e-6)
         B_l1 = jnp.where(jnp.isfinite(B_l1), B_l1, jnp.eye(D, dtype=dtype))
@@ -163,7 +201,7 @@ def fit_figueiredo(samples, dim, key, lmax: int, max_iters: int):
         Lkk = st["Lkk"] - upd_ann.astype(jnp.int32)
         natann = natann | upd_ann
 
-        w, lpn = _e_step(lam, alive, lpdata)
+        w, lpn = _e_step(lam, alive, lpdata, psum)
         st = dict(st, lam=lam, mu=mu, B=B, lpdata=lpdata, w=w, alive=alive,
                   Lkk=Lkk, lpn=lpn, natann=natann)
         return st
@@ -202,7 +240,7 @@ def fit_figueiredo(samples, dim, key, lmax: int, max_iters: int):
         lam_f = jnp.where(force, _renormalize(st["lam"].at[ldel].set(0.0), alive_f),
                           st["lam"])
         Lkk_f = st["Lkk"] - force.astype(jnp.int32)
-        w_f, lpn_f = _e_step(lam_f, alive_f, st["lpdata"])
+        w_f, lpn_f = _e_step(lam_f, alive_f, st["lpdata"], psum)
         cost_f = _mml_cost(lam_f, alive_f, Lkk_f, lpn_f, nparams, N)
         lam = jnp.where(force, lam_f, st["lam"])
         alive = jnp.where(force, alive_f, st["alive"])
@@ -265,11 +303,16 @@ def fit_autorj(samples, dim):
     return mean, B0
 
 
-def fit_proposal(modelset: ModelSet, cfg: EngineConfig, samples, sig, key):
+def fit_proposal(modelset: ModelSet, cfg: EngineConfig, samples, sig, key,
+                 mesh=None):
     """Fit every model's proposal mixture and assemble a Proposal pytree.
 
     ``samples``: [K, C, D] stage-1 output; ``sig``: [K, D] adapted scales.
     Returns (Proposal, telemetry dict).
+
+    With ``mesh`` the per-model sample axis stays sharded over the mesh
+    (the layout stage 1 produces) and the fit runs under ``shard_map`` with
+    psum'd sufficient statistics (automix.c:773-811 are pure reductions).
     """
     K, C, D = samples.shape
     lmax = cfg.max_mix_comps
@@ -277,6 +320,11 @@ def fit_proposal(modelset: ModelSet, cfg: EngineConfig, samples, sig, key):
     dtype = cfg.dtype
 
     if cfg.mix_fit == "autorj":
+        if mesh is not None:
+            # tiny input: gather and fit replicated
+            from automix_tpu.parallel import mesh as mesh_lib
+            samples = jax.jit(
+                lambda x: x, out_shardings=mesh_lib.replicated(mesh))(samples)
         means, Bs = jax.vmap(fit_autorj)(samples, dims)
         lam = jnp.zeros((K, lmax), dtype).at[:, 0].set(1.0)
         mu = jnp.zeros((K, lmax, D), dtype).at[:, 0].set(means)
@@ -286,8 +334,25 @@ def fit_proposal(modelset: ModelSet, cfg: EngineConfig, samples, sig, key):
         telemetry = {}
     else:
         keys = jax.random.split(key, K)
-        fit = jax.jit(jax.vmap(
-            lambda s, d, k: fit_figueiredo(s, d, k, lmax, cfg.max_em_iters)))
+        if mesh is None:
+            fit = jax.jit(jax.vmap(
+                lambda s, d, k: fit_figueiredo(s, d, k, lmax,
+                                               cfg.max_em_iters)))
+        else:
+            from jax.sharding import PartitionSpec as P
+            axis = mesh.axis_names[0]
+            n_shards = int(mesh.devices.size)
+
+            def local_fit(s, d, k):
+                return jax.vmap(
+                    lambda sk, dk, kk: fit_figueiredo(
+                        sk, dk, kk, lmax, cfg.max_em_iters,
+                        axis_name=axis, axis_size=n_shards))(s, d, k)
+
+            fit = jax.jit(jax.shard_map(
+                local_fit, mesh=mesh,
+                in_specs=(P(None, axis, None), P(), P()),
+                out_specs=P()))
         out = fit(samples, dims, keys)
         lam, mu, B = out["lam"], out["mu"], out["B"]
         nmix = out["nmix"]

@@ -459,8 +459,8 @@ def _chunk_scan(sweep_all, modelset, cfg, collect, chains, prop, n_sweeps,
         "nacctd": jnp.int32(0), "ntrytd": jnp.int32(0),
     }
     if axis_name is not None:
-        acc0 = jax.tree.map(
-            lambda x: jax.lax.pvary(x, (axis_name,)), acc0)
+        from automix_tpu.parallel.mesh import pvary
+        acc0 = jax.tree.map(lambda x: pvary(x, axis_name), acc0)
     (chains_out, acc), traces = jax.lax.scan(
         body, (chains, acc0), None, length=n_sweeps)
     chunk = dict(acc)

@@ -21,6 +21,14 @@ pooled update ``sig += gamma*(mean_accept - alphastar)`` follows the same
 ODE with a C-times lower-variance gradient — allowing far fewer sweeps for
 the same adapted scales.  Samples for stage 2 are the C chains' final
 states: independent draws instead of a thinned autocorrelated chain.
+
+Multi-chip: with ``mesh`` the chain axis runs under ``shard_map`` and the
+pooled acceptance statistics cross the mesh as **integer** ``psum``s (the
+acceptance indicator is 0/1), so the global per-(model, coordinate) counts
+— and therefore the shared ``sig`` trajectory — are *bitwise identical* to
+the unsharded run: sharding stage 1 is a pure layout change, the same
+contract the stage-3 kernel keeps (tests/test_sharding.py).  The C
+equivalents of these reductions are the plain sums at automix.c:634-655.
 """
 
 from __future__ import annotations
@@ -35,6 +43,7 @@ from automix_tpu.config import (
 )
 from automix_tpu.model import ModelSet
 from automix_tpu.ops import randoms
+from automix_tpu.parallel.mesh import pvary
 
 TELEMETRY_EVERY = 100  # reference logs sig/acceptance every 100 sweeps (automix.c:648-655)
 
@@ -44,51 +53,72 @@ def _accept_prob(delta):
     return jnp.exp(jnp.clip(delta, LOG_ACCEPT_CLAMP, 0.0))
 
 
-def run_stage1(modelset: ModelSet, cfg: EngineConfig, key, nsweeps: int,
-               n_chains_per_model: int | None = None):
-    """Run adaptive RWM for every model simultaneously.
 
-    Returns ``(sig [K, D], samples [K, C, D], telemetry dict)`` where
-    ``samples`` feed the stage-2 mixture fit.  Telemetry holds ``sig`` and
-    pooled acceptance-ratio snapshots every 100 sweeps (the engine's
-    ``sig_k_rwm_summary`` / ``nacc_ntry_rwm``, automix.h:162-163).
+
+def _build_stage1_core(modelset: ModelSet, cfg: EngineConfig, nsweeps: int,
+                       c_total: int, init_theta, block_key,
+                       axis_name=None):
+    """Build the jittable stage-1 body over a (possibly local) chain block.
+
+    ``core(chain_keys [K, C_local]) ->
+        (sig [K, D], samples [K, C_local, D], tele_sig, tele_acc,
+         lp [K, C_local])``
+
+    ``c_total`` is the *global* chain count per model; acceptance counts are
+    pooled across it (``psum`` over ``axis_name`` when sharded).  All
+    cross-chain statistics are integer counts, so the pooled mean — and the
+    adapted ``sig`` trajectory — is independent of the sharding layout.
     """
     K, D = modelset.nmodels, modelset.dmax
-    C = n_chains_per_model or cfg.n_chains_stage1
     dtype = cfg.dtype
     dof = cfg.student_t_dof
 
     nburn = nsweeps // 10
     total = nsweeps + nburn
     n_tele = max(1, total // TELEMETRY_EVERY)
-
     dims = modelset.dims_device                     # [K]
-    k_assign = jnp.repeat(jnp.arange(K, dtype=jnp.int32), C)   # [M]
-    M = K * C
+    coords = jnp.arange(D)
+    # [K, D] 0/1 mask of real (non-padded) coordinates
+    coord_active = (coords[None, :] < dims[:, None])
 
-    key, k_init = jax.random.split(key)
-    init_theta = modelset.init_points(k_init)       # [K, D]
+    def psum(x):
+        if axis_name is None:
+            return x
+        return jax.lax.psum(x, axis_name)
 
-    def stage1_jit(key):
-        theta0 = init_theta[k_assign]               # [M, D]
+    def core(keys_kc):
+        C = keys_kc.shape[1]                        # local chains per model
+        M = K * C
+        chain_keys = keys_kc.reshape(M, *keys_kc.shape[2:])
+        # varying-typed like stage 3's chains.k: lax.switch dispatch inside
+        # logpost_batch mixes varying operands with invariant branch
+        # constants, which the VMA checker only unifies from a varying k.
+        k_assign = pvary(
+            jnp.repeat(jnp.arange(K, dtype=jnp.int32), C), axis_name)  # [M]
+        dims_assign = dims[k_assign]
+        onehot_k = jax.nn.one_hot(k_assign, K, dtype=dtype)        # [M, K]
+
+        theta0 = pvary(init_theta[k_assign], axis_name)     # [M, D]
         lp0 = modelset.logpost_batch(k_assign, theta0)
         sig0 = jnp.full((K, D), 10.0, dtype)        # automix.c:595
-        nacc0 = jnp.zeros((K, D), dtype)
-        ntry0 = jnp.zeros((K, D), dtype)
+        nacc0 = jnp.zeros((K, D), jnp.int32)
+        ntry0 = jnp.zeros((K, D), jnp.int32)
         tele_sig0 = jnp.zeros((n_tele, K, D), dtype)
         tele_acc0 = jnp.zeros((n_tele, K, D), dtype)
 
-        chain_keys = jax.random.split(key, M)
-        onehot_k = jax.nn.one_hot(k_assign, K, dtype=dtype)        # [M, K]
-        dims_assign = dims[k_assign]                               # constant
-
         def componentwise(sweep, theta, lp, sig, nacc, ntry, u, z):
-            """One adaptive componentwise sweep (automix.c:618-640)."""
+            """One adaptive componentwise sweep (automix.c:618-640).
+
+            Within a sweep each coordinate's proposal uses the sweep-start
+            ``sig`` (the C updates sig[i] only after proposing with it), so
+            the per-coordinate acceptance counts can be pooled into ONE
+            [K, D] update — and one psum — per sweep.
+            """
             gamma = 10.0 * (1.0 / (sweep + 1.0)) ** (2.0 / 3.0)
             sig_sel = onehot_k @ sig                               # [M, D]
 
             def coord_body(j, carry):
-                theta, lp, sig, nacc, ntry = carry
+                theta, lp, acc_cols = carry
                 active = j < dims_assign                           # [M]
                 prop_j = theta[:, j] + sig_sel[:, j] * z[:, j]
                 theta_prop = theta.at[:, j].set(prop_j)
@@ -96,21 +126,25 @@ def run_stage1(modelset: ModelSet, cfg: EngineConfig, key, nsweeps: int,
                 acc = (u[:, j] < _accept_prob(lpn - lp)) & active
                 theta = jnp.where(acc[:, None], theta_prop, theta)
                 lp = jnp.where(acc, lpn, lp)
-                # pooled Robbins-Monro sig update per (model, coordinate)
-                accf = acc.astype(dtype).reshape(K, C)
-                mean_acc = accf.mean(axis=1)                      # [K]
-                coord_active = (j < dims).astype(dtype)           # [K]
-                upd = gamma * (mean_acc - RWM_TARGET_ACCEPT) * coord_active
-                sig = sig.at[:, j].set(jnp.maximum(sig[:, j] + upd, 0.0))
-                nacc = nacc.at[:, j].add(accf.sum(axis=1))
-                ntry = ntry.at[:, j].add(coord_active * C)
-                return theta, lp, sig, nacc, ntry
+                col = acc.astype(jnp.int32).reshape(K, C).sum(axis=1)
+                acc_cols = acc_cols.at[:, j].set(col)
+                return theta, lp, acc_cols
 
-            return jax.lax.fori_loop(0, D, coord_body, (theta, lp, sig, nacc, ntry))
+            acc_cols0 = pvary(jnp.zeros((K, D), jnp.int32), axis_name)
+            theta, lp, acc_cols = jax.lax.fori_loop(
+                0, D, coord_body, (theta, lp, acc_cols0))
+            acc_cols = psum(acc_cols)                # exact global counts
+            mean_acc = acc_cols.astype(dtype) / c_total
+            upd = gamma * (mean_acc - RWM_TARGET_ACCEPT) \
+                * coord_active.astype(dtype)
+            sig = jnp.maximum(sig + upd, 0.0)
+            nacc = nacc + acc_cols
+            ntry = ntry + coord_active.astype(jnp.int32) * c_total
+            return theta, lp, sig, nacc, ntry
 
         def block(theta, lp, sig, u, z):
             """One full-vector non-adapting sweep (automix.c:606-617)."""
-            mask = (jnp.arange(D)[None, :] < dims_assign[:, None]).astype(dtype)
+            mask = coord_active.astype(dtype)[k_assign]
             theta_prop = theta + (onehot_k @ sig) * z * mask
             lpn = modelset.logpost_batch(k_assign, theta_prop)
             acc = u[:, 0] < _accept_prob(lpn - lp)
@@ -126,7 +160,7 @@ def run_stage1(modelset: ModelSet, cfg: EngineConfig, key, nsweeps: int,
             kz = jax.vmap(lambda ck: jax.random.fold_in(ck, 1))(skeys)
             u = jax.vmap(lambda kk: jax.random.uniform(kk, (D,), dtype))(ku)
             z = jax.vmap(lambda kk: randoms.rand_t(kk, (D,), dof, dtype))(kz)
-            gkey = jax.random.fold_in(jax.random.fold_in(key, 7), sweep)
+            gkey = jax.random.fold_in(block_key, sweep)
             u_block = jax.random.uniform(gkey, (), dtype)
             # One coin per sweep for the whole batch, mirroring the single
             # chain's per-sweep coin (automix.c:605-606): after burn-in, 10%
@@ -149,7 +183,8 @@ def run_stage1(modelset: ModelSet, cfg: EngineConfig, key, nsweeps: int,
             # telemetry every TELEMETRY_EVERY sweeps (automix.c:648-655)
             t_idx = jnp.minimum(sweep // TELEMETRY_EVERY, n_tele - 1)
             write = (sweep % TELEMETRY_EVERY) == 0
-            ratio = nacc / jnp.maximum(ntry, 1.0)
+            ratio = nacc.astype(dtype) / jnp.maximum(
+                ntry.astype(dtype), 1.0)
             tele_sig = jax.lax.cond(
                 write, lambda ts: ts.at[t_idx].set(sig), lambda ts: ts, tele_sig)
             tele_acc = jax.lax.cond(
@@ -163,7 +198,54 @@ def run_stage1(modelset: ModelSet, cfg: EngineConfig, key, nsweeps: int,
         samples = theta.reshape(K, C, D)
         return sig, samples, tele_sig, tele_acc, lp.reshape(K, C)
 
-    sig, samples, tele_sig, tele_acc, lp = jax.jit(stage1_jit)(key)
+    return core, total
+
+
+def run_stage1(modelset: ModelSet, cfg: EngineConfig, key, nsweeps: int,
+               n_chains_per_model: int | None = None, mesh=None):
+    """Run adaptive RWM for every model simultaneously.
+
+    Returns ``(sig [K, D], samples [K, C, D], telemetry dict)`` where
+    ``samples`` feed the stage-2 mixture fit.  Telemetry holds ``sig`` and
+    pooled acceptance-ratio snapshots every 100 sweeps (the engine's
+    ``sig_k_rwm_summary`` / ``nacc_ntry_rwm``, automix.h:162-163).
+
+    With ``mesh`` the per-model chain axis is sharded over the mesh
+    (``samples`` comes back as a sharded jax.Array) and the pooled
+    adaptation statistics cross shards as integer psums — trajectories are
+    bitwise identical to the unsharded run with the same key.
+    """
+    K, D = modelset.nmodels, modelset.dmax
+    C = n_chains_per_model or cfg.n_chains_stage1
+
+    key, k_init, k_chains = jax.random.split(key, 3)
+    init_theta = modelset.init_points(k_init)       # [K, D]
+    block_key = jax.random.fold_in(key, 7)
+    # Global per-chain keys, laid out [K, C] so sharding splits the chain
+    # axis without crossing model boundaries.  (Keys are raw uint32 [, 2]
+    # vectors, hence the trailing key-data axis.)
+    keys = jax.random.split(k_chains, K * C)
+    keys_kc = keys.reshape(K, C, *keys.shape[1:])
+
+    core, total = _build_stage1_core(
+        modelset, cfg, nsweeps, C, init_theta, block_key,
+        axis_name=None if mesh is None else _mesh_axis(mesh))
+
+    if mesh is None:
+        fn = jax.jit(core)
+    else:
+        from jax.sharding import PartitionSpec as P
+        axis = _mesh_axis(mesh)
+        keys_p = P(None, axis) if keys_kc.ndim == 2 else P(None, axis, None)
+        rep = P()
+        fn = jax.jit(jax.shard_map(
+            core, mesh=mesh,
+            in_specs=(keys_p,),
+            out_specs=(rep, P(None, axis, None), rep, rep, P(None, axis))))
+        keys_kc = jax.device_put(
+            keys_kc, jax.sharding.NamedSharding(mesh, keys_p))
+
+    sig, samples, tele_sig, tele_acc, lp = fn(keys_kc)
     telemetry = {
         "sig_trace": tele_sig,
         "accept_trace": tele_acc,
@@ -171,3 +253,7 @@ def run_stage1(modelset: ModelSet, cfg: EngineConfig, key, nsweeps: int,
         "nsweeps": total,
     }
     return sig, samples, telemetry
+
+
+def _mesh_axis(mesh) -> str:
+    return mesh.axis_names[0]

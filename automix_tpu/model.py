@@ -130,12 +130,25 @@ class ModelSet:
         return jax.lax.switch(k, branches, theta_pad)
 
     def logpost_batch(self, k, theta_pad):
-        """Batched log-posterior: k [S], theta_pad [S, dmax] -> [S]."""
+        """Batched log-posterior: k [S], theta_pad [S, dmax] -> [S].
+
+        The generic path evaluates every model's density on the whole batch
+        and one-hot selects — exactly the work a ``vmap`` of the
+        ``lax.switch`` would do (batched cond lowers to select-all-branches)
+        but without the cond primitive, which keeps the batch free of
+        per-branch control flow under ``shard_map``/``vmap`` nesting and
+        matches the engine's gather-free hot-loop design."""
         if self._batched_logpost is not None:
             lp = jnp.asarray(self._batched_logpost(k, theta_pad), self.dtype)
             return jnp.where(jnp.isfinite(lp), lp,
                              jnp.asarray(NEG_INF, self.dtype))
-        return jax.vmap(self.logpost_padded)(k, theta_pad)
+        if self.nmodels == 1:
+            return jax.vmap(self._branch(0))(theta_pad)
+        lps = jnp.stack(
+            [jax.vmap(self._branch(i))(theta_pad)
+             for i in range(self.nmodels)], axis=1)          # [S, K]
+        onehot = jax.nn.one_hot(k, self.nmodels, dtype=self.dtype)
+        return jnp.sum(lps * onehot, axis=1)
 
     def init_points(self, key) -> jnp.ndarray:
         """[K, dmax] padded stage-1 start points (uniform draws where a

@@ -24,6 +24,23 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 CHAIN_AXIS = "chains"
 
 
+def pvary(x, axis_name):
+    """Mark a replicated value as varying over a shard_map axis (loop
+    carries that start replicated but become chain-dependent).  No-op for
+    axis_name=None or already-varying values; uses jax.lax.pcast on JAX
+    versions where jax.lax.pvary is deprecated."""
+    import jax
+
+    if axis_name is None:
+        return x
+    vma = getattr(jax.typeof(x), "vma", frozenset())
+    if axis_name in vma:
+        return x
+    if hasattr(jax.lax, "pcast"):
+        return jax.lax.pcast(x, (axis_name,), to="varying")
+    return jax.lax.pvary(x, (axis_name,))
+
+
 def make_mesh(n_devices: Optional[int] = None) -> Mesh:
     """1-D mesh over all (or the first n) local devices."""
     devices = jax.devices()

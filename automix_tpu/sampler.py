@@ -133,9 +133,10 @@ class AMSampler:
         nsweeps = nsweep2 if nsweep2 is not None else self.cfg.stage1_sweeps
         sig, samples, tele = rwm.run_stage1(
             self.modelset, self.cfg, self._next_key(), nsweeps,
-            n_chains_per_model=n_chains_stage1)
+            n_chains_per_model=n_chains_stage1, mesh=self.mesh)
         self.proposal, em_tele = em.fit_proposal(
-            self.modelset, self.cfg, samples, sig, self._next_key())
+            self.modelset, self.cfg, samples, sig, self._next_key(),
+            mesh=self.mesh)
         jax.block_until_ready(self.proposal.lam)
         self.cpstats.sig_trace = np.asarray(tele["sig_trace"])
         self.cpstats.accept_trace = np.asarray(tele["accept_trace"])

@@ -80,3 +80,61 @@ def test_dryrun_multichip_entry(eight_devices):
     sys.path.insert(0, "/root/repo")
     import __graft_entry__ as g
     g.dryrun_multichip(8)
+
+
+def test_stage1_sharded_equals_unsharded(eight_devices):
+    """Stage-1 adaptation pools acceptance counts as integer psums, so the
+    sharded run is BITWISE identical to the unsharded one (kernels/rwm.py):
+    sharding stage 1 is a pure layout change."""
+    from automix_tpu.kernels import rwm
+
+    ms = builtin.normal_beta_set()
+    cfg = EngineConfig(n_chains_stage1=64, seed=0)
+    key = jax.random.PRNGKey(5)
+    sig_u, samp_u, tele_u = rwm.run_stage1(ms, cfg, key, 300)
+    mesh = mesh_lib.make_mesh(8)
+    sig_s, samp_s, tele_s = rwm.run_stage1(ms, cfg, key, 300, mesh=mesh)
+    np.testing.assert_array_equal(np.asarray(sig_u), np.asarray(sig_s))
+    np.testing.assert_array_equal(np.asarray(samp_u), np.asarray(samp_s))
+    np.testing.assert_array_equal(np.asarray(tele_u["accept_trace"]),
+                                  np.asarray(tele_s["accept_trace"]))
+
+
+def test_stage2_sharded_matches_unsharded(eight_devices):
+    """EM under shard_map (sample axis sharded, psum'd sufficient
+    statistics) fits the same mixture as the single-device path: identical
+    component counts, parameters equal up to reduction-order rounding."""
+    from automix_tpu.kernels import em, rwm
+
+    ms = builtin.normal_beta_set()
+    cfg = EngineConfig(n_chains_stage1=64, max_em_iters=60, max_mix_comps=6,
+                       seed=0)
+    key = jax.random.PRNGKey(5)
+    sig, samples, _ = rwm.run_stage1(ms, cfg, key, 300)
+    mesh = mesh_lib.make_mesh(8)
+    k2 = jax.random.PRNGKey(9)
+    prop_u, _ = em.fit_proposal(ms, cfg, samples, sig, k2)
+    sig_s, samples_s, _ = rwm.run_stage1(ms, cfg, key, 300, mesh=mesh)
+    prop_s, _ = em.fit_proposal(ms, cfg, samples_s, sig_s, k2, mesh=mesh)
+    np.testing.assert_array_equal(np.asarray(prop_u.nmix),
+                                  np.asarray(prop_s.nmix))
+    np.testing.assert_allclose(np.asarray(prop_u.lam),
+                               np.asarray(prop_s.lam), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(prop_u.mu),
+                               np.asarray(prop_s.mu), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(prop_u.B),
+                               np.asarray(prop_s.B), atol=2e-4)
+
+
+def test_full_pipeline_with_mesh(eight_devices):
+    """AMSampler with a mesh runs all three stages sharded end-to-end."""
+    ms = builtin.normal_beta_set()
+    cfg = EngineConfig(n_chains=128, n_chains_stage1=64, stage1_sweeps=300,
+                       sweep_chunk=100, max_em_iters=60, max_mix_comps=6,
+                       seed=4)
+    am = AMSampler(ms, cfg, mesh=mesh_lib.make_mesh(8))
+    am.estimate_conditional_probs()
+    am.burn_samples(100)
+    stats = am.rjmcmc_samples(400)
+    assert stats.ksummary.sum() == 128 * 400
+    assert np.all(np.isfinite(stats.theta_mean()))
