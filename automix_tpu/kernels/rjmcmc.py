@@ -416,7 +416,10 @@ def _chunk_scan(sweep_all, modelset, cfg, collect, chains, prop, n_sweeps,
 
     ``axis_name``: the shard_map chain axis, when running sharded — the
     zero-initialized accumulators must be marked varying over it so the
-    scan carry types match."""
+    scan carry types match, and the per-sweep traces (which live on shard
+    0's chains, the global chain prefix) are psum-broadcast so every shard
+    returns the same replicated trace arrays (a host on a pod slice never
+    sees other hosts' shards except through collectives)."""
     K, D = modelset.nmodels, modelset.dmax
     dtype = cfg.dtype
     n_trace = cfg.n_trace_chains
@@ -439,13 +442,22 @@ def _chunk_scan(sweep_all, modelset, cfg, collect, chains, prop, n_sweeps,
             "ntrytd": acc["ntrytd"] + stats["ntrytd"].sum(),
         }
         if collect:
+            nt = min(n_trace, k.shape[0])
             trace = {
-                "k_trace": k[:n_trace].astype(jnp.int8),
-                "k0_trace": k[0].astype(jnp.int8),
+                "k_trace": k[:nt].astype(jnp.int32),
+                "k0_trace": k[0],
                 "pk0_trace": ch.pk[0],
                 "logp0_trace": ch.logp[0],
                 "theta0_trace": theta[0],
             }
+            if axis_name is not None:
+                first = jax.lax.axis_index(axis_name) == 0
+                trace = jax.tree.map(
+                    lambda v: jax.lax.psum(
+                        jnp.where(first, v, jnp.zeros_like(v)), axis_name),
+                    trace)
+            trace["k_trace"] = trace["k_trace"].astype(jnp.int8)
+            trace["k0_trace"] = trace["k0_trace"].astype(jnp.int8)
         else:
             trace = None
         return (ch, acc), trace
@@ -476,20 +488,21 @@ def build_chunk_runner(modelset: ModelSet, cfg: EngineConfig, burning: bool,
     ``runner(chains, prop, n_sweeps)`` -> (chains', chunk_stats dict).
     ``n_sweeps`` is static (compiled into the scan length).
 
-    With ``mesh`` (and ``collect=False``) the chunk runs under
-    ``shard_map`` over the chain axis — the production multi-chip path
-    (SURVEY.md section 7 step 6): every array op stays local to its shard
-    and the chunk statistics are reduced once per chunk with a single
-    ``psum``.  This also enables the pallas hardware-PRNG kernel, which is
-    opaque to the jit auto-partitioner but trivially shardable by hand.
-    The collect path (per-sweep chain-0 traces) keeps the auto-sharded jit
-    runner, whose trace slicing spans shards.
+    With ``mesh`` the chunk runs under ``shard_map`` over the chain axis —
+    the production multi-chip/multi-host path (SURVEY.md section 7 step
+    6): every array op stays local to its shard, the chunk statistics are
+    reduced once per chunk with a single ``psum``, and per-sweep traces
+    (from the global chain prefix, which lives on shard 0) come back
+    replicated via a tiny per-sweep psum-broadcast — valid on a pod slice
+    where no host can address another host's shard.  This also enables the
+    pallas hardware-PRNG kernel, which is opaque to the jit
+    auto-partitioner but trivially shardable by hand.
     """
     from automix_tpu.kernels import sweep_rng
 
     rng_mode = sweep_rng.resolve_rng(cfg)
 
-    if mesh is not None and not collect:
+    if mesh is not None:
         from automix_tpu.parallel import mesh as mesh_lib
 
         axis = mesh_lib.CHAIN_AXIS
@@ -502,15 +515,20 @@ def build_chunk_runner(modelset: ModelSet, cfg: EngineConfig, burning: bool,
                              nreinit=chain_p, sweep=rep_p)
         prop_spec = jax.tree.map(lambda _: rep_p, Proposal(
             lam=0, mu=0, B=0, logdetB=0, nmix=0, sig=0))
+        acc_keys = frozenset([
+            "ksummary", "theta_sum", "theta_sqsum", "naccrwmb", "ntryrwmb",
+            "naccrwms", "ntryrwms", "nacctd", "ntrytd"])
 
         @functools.lru_cache(maxsize=None)
         def _compiled(n_sweeps: int):
             def local_run(chains, prop):
                 chains, chunk = _chunk_scan(
-                    sweep_all, modelset, cfg, False, chains, prop, n_sweeps,
-                    axis_name=axis)
-                chunk = jax.tree.map(
-                    lambda x: jax.lax.psum(x, axis), chunk)
+                    sweep_all, modelset, cfg, collect, chains, prop,
+                    n_sweeps, axis_name=axis)
+                # accumulators are per-shard partials -> psum; traces are
+                # already replicated inside the scan
+                chunk = {k: (jax.lax.psum(v, axis) if k in acc_keys else v)
+                         for k, v in chunk.items()}
                 return chains, chunk
 
             return jax.jit(jax.shard_map(

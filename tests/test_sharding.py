@@ -138,3 +138,31 @@ def test_full_pipeline_with_mesh(eight_devices):
     stats = am.rjmcmc_samples(400)
     assert stats.ksummary.sum() == 128 * 400
     assert np.all(np.isfinite(stats.theta_mean()))
+
+
+def test_sharded_collect_traces_match_unsharded(eight_devices):
+    """The collect path now runs under shard_map too: per-sweep traces of
+    the global chain prefix are psum-broadcast from shard 0, so sharded
+    and unsharded runs return identical trace arrays."""
+    ms, cfg, prop = _setup(64)
+    chains_u = rjmcmc.init_chains(ms, cfg, jax.random.PRNGKey(7))
+    runner_u = rjmcmc.build_chunk_runner(ms, cfg, burning=False, collect=True)
+    out_u, chunk_u = runner_u(chains_u, prop, 15)
+
+    mesh = mesh_lib.make_mesh(8)
+    chains_s = mesh_lib.shard_chains(
+        rjmcmc.init_chains(ms, cfg, jax.random.PRNGKey(7)), mesh)
+    runner_s = rjmcmc.build_chunk_runner(ms, cfg, burning=False,
+                                         collect=True, mesh=mesh)
+    out_s, chunk_s = runner_s(chains_s, mesh_lib.replicate(prop, mesh), 15)
+
+    np.testing.assert_array_equal(np.asarray(chunk_u["k_trace"]),
+                                  np.asarray(chunk_s["k_trace"]))
+    np.testing.assert_array_equal(np.asarray(chunk_u["k0_trace"]),
+                                  np.asarray(chunk_s["k0_trace"]))
+    np.testing.assert_allclose(np.asarray(chunk_u["logp0_trace"]),
+                               np.asarray(chunk_s["logp0_trace"]), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(chunk_u["theta0_trace"]),
+                               np.asarray(chunk_s["theta0_trace"]), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(chunk_u["ksummary"]),
+                                  np.asarray(chunk_s["ksummary"]))
