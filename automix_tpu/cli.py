@@ -93,6 +93,17 @@ def build_parser() -> argparse.ArgumentParser:
                    help="force a jax platform (cpu/tpu)")
     p.add_argument("--no-reports", action="store_true",
                    help="skip writing the output files")
+    p.add_argument("--checkpoint-every", type=int, default=0,
+                   help="write a full-state checkpoint to <f>_ckpt.npz "
+                        "after burn-in and then every N production sweeps "
+                        "(0 disables; the elastic-restart path SURVEY.md "
+                        "section 5 plans against the reference's "
+                        "proposal-only _mix.data restart)")
+    p.add_argument("--resume", action="store_true",
+                   help="resume a killed run from <f>_ckpt.npz: stages 1-2 "
+                        "and completed sweeps are skipped and trajectories "
+                        "continue exactly (sweeps depend only on (key, "
+                        "sweep counter))")
     return p
 
 
@@ -125,7 +136,22 @@ def main(argv=None):
     modelset = _resolve_problem(args.problem)()
     am = AMSampler(modelset, cfg)
 
-    if args.mode == 1:
+    ckpt_path = f"{args.fname}_ckpt.npz"
+    resumed = False
+    if args.resume:
+        import os
+        if os.path.exists(ckpt_path):
+            am.load(ckpt_path)
+            resumed = am.chains is not None
+            done = am.stats.nsweeps if am.stats is not None else 0
+            print(f"Resumed from {ckpt_path}: "
+                  f"{done}/{args.nsweep} production sweeps done.")
+        else:
+            print(f"No checkpoint at {ckpt_path}; starting fresh.")
+
+    if resumed:
+        pass        # proposal + chains + stats restored above
+    elif args.mode == 1:
         print("Reading parameters from mix file.")
         prop = mixfile.read_mix_file(
             f"{args.fname}_mix.data", modelset.dims,
@@ -140,10 +166,25 @@ def main(argv=None):
         if not args.no_reports:
             reports.report_cond_prob_estimation(args.fname, am)
 
-    print(f"Burning in {nburn} sweeps.")
-    am.burn_samples(nburn)
+    every = args.checkpoint_every
+    if not resumed or am.stats is None:
+        print(f"Burning in {nburn} sweeps.")
+        am.burn_samples(nburn)
+        if every:
+            am.save(ckpt_path)
     print(f"Sampling {args.nsweep} sweeps x {args.chains} chains.")
-    stats = am.rjmcmc_samples(args.nsweep)
+    # Run stage 3 in checkpoint-aligned blocks: each block's statistics are
+    # absorbed into am.stats before the snapshot, so a SIGKILL at any point
+    # loses at most the current block and --resume continues the exact
+    # trajectories (sweeps are pure functions of (chain key, sweep counter)).
+    done = am.stats.nsweeps if (resumed and am.stats is not None) else 0
+    while done < args.nsweep:
+        n = min(every, args.nsweep - done) if every else args.nsweep - done
+        stats = am.rjmcmc_samples(n)
+        done = stats.nsweeps
+        if every:
+            am.save(ckpt_path)
+    stats = am.stats
 
     probs = stats.model_probs
     for k in range(modelset.nmodels):

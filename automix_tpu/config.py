@@ -67,14 +67,28 @@ class EngineConfig:
     # it with gradient-based Hamiltonian moves (possible because models are
     # pure JAX functions — jax.grad comes free; SURVEY.md section 7 step 7).
     within_move: str = "rwm"
+    # Model-probability adaptation scope for stage 3 (automix.c:1258-1281).
+    # "per_chain": every chain adapts its own pk from its own visit history
+    # (diminishing adaptation per chain — each chain is a valid sampler on
+    # its own).  "pooled": one shared pk updated from the cross-chain visit
+    # histogram with the same gamma schedule — the expected drift of the
+    # reference's single-chain update with a chains-times lower-variance
+    # gradient, and the closer match to the reference's shared-pk semantics.
+    pk_mode: str = "per_chain"
     hmc_steps: int = 5          # (max) leapfrog steps per HMC move
     # Draw each chain's trajectory length uniformly from {1..hmc_steps}
     # per move (randomized trajectories, the vectorizable alternative to
     # NUTS's adaptive lengths; see kernels/hmc.py).
     hmc_jitter: bool = True
     # Leapfrog step size per coordinate = hmc_step_scale * sig[k, j], i.e.
-    # preconditioned by the stage-1 adapted RWM scales.
-    hmc_step_scale: float = 0.2
+    # preconditioned by the stage-1 adapted RWM scales.  A scalar applies to
+    # all models; a length-K tuple gives per-model multipliers (what
+    # kernels/hmc.py:tune_step_scale produces).
+    hmc_step_scale: Any = 0.2
+    # Dual-average hmc_step_scale per model during burn-in toward
+    # hmc_target_accept (skipped when hmc_step_scale is already a tuple).
+    hmc_autotune: bool = True
+    hmc_target_accept: float = 0.65
 
     # --- TPU-native knobs ------------------------------------------------
     # Number of parallel RJMCMC chains in stage 3.  The reference runs
@@ -85,6 +99,11 @@ class EngineConfig:
     # the EM fit, replacing the reference's 1000*mdim thinned single-chain
     # draws (automix.c:642-647) with independent parallel draws.
     n_chains_stage1: int = 2048
+    # Total stage-2 fit samples per model (spread as thinned tail snapshots
+    # across the stage-1 chains).  0 = auto: 1000 * dmax, the reference's
+    # per-model budget (automix.c:642-647) — at high dim the MML reweight
+    # needs this scale of samples or components annihilate spuriously.
+    stage1_target_samples: int = 0
     # Stage-1 sweep count (before the +10% burn-in that the reference also
     # adds, automix.c:579-582).  The reference needs >=100k sequential
     # sweeps for one chain; pooled adaptation across n_chains_stage1 chains
@@ -122,6 +141,8 @@ class EngineConfig:
             raise ValueError(f"unknown rng {self.rng!r}")
         if self.within_move not in ("rwm", "hmc"):
             raise ValueError(f"unknown within_move {self.within_move!r}")
+        if self.pk_mode not in ("per_chain", "pooled"):
+            raise ValueError(f"unknown pk_mode {self.pk_mode!r}")
         if self.rng in ("fast", "pallas") and self.student_t_dof > 0:
             # The fast counter-hash and pallas hardware-PRNG paths emit
             # N(0,1) perturbations only, while the RJ acceptance ratio

@@ -16,6 +16,7 @@ reference-compatible ``_mix.data`` can always be derived via
 from __future__ import annotations
 
 import json
+import os
 
 import jax
 import jax.numpy as jnp
@@ -57,7 +58,13 @@ def save_checkpoint(path: str, sampler) -> None:
                                  for f in _STATS_SCALARS}
     arrays["meta"] = np.frombuffer(
         json.dumps(meta).encode(), dtype=np.uint8)
-    np.savez_compressed(path, **arrays)
+    # Atomic write: a run killed mid-save (the periodic-checkpoint path must
+    # survive SIGKILL at any instant) never leaves a truncated file at
+    # ``path`` — the half-written temp is simply orphaned.
+    tmp = f"{path}.tmp"
+    with open(tmp, "wb") as fh:
+        np.savez_compressed(fh, **arrays)
+    os.replace(tmp, path)
 
 
 def load_checkpoint(path: str, sampler) -> None:

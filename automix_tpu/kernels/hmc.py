@@ -6,10 +6,13 @@ functions, their gradients come free via ``jax.grad``, enabling
 gradient-based moves the C architecture cannot express (the north-star
 extension of SURVEY.md section 7 step 7).
 
-One move = standard leapfrog HMC with a diagonal mass preconditioner taken
-from the stage-1 adapted RWM scales: step size eps_j = scale * sig[k, j].
-Padded coordinates carry zero momentum and zero gradient, so chains in
-different models stay fully vectorized exactly as in the RWM path.
+One move = leapfrog HMC with a diagonal mass preconditioner taken from the
+stage-1 adapted RWM scales: step size eps_j = scale_k * sig[k, j], where
+``scale_k`` is a per-model multiplier tuned by dual averaging
+(:func:`tune_step_scale`) toward ``cfg.hmc_target_accept`` — the engine's
+replacement for hand-picking ``hmc_step_scale``.  The leapfrog carries the
+gradient between steps, so a trajectory of ``n`` steps costs ``n + 1``
+gradient evaluations (not ``2n``).
 
 With ``cfg.hmc_jitter`` (default on) each chain's trajectory length is
 drawn uniformly from {1..hmc_steps} per move — randomized trajectory
@@ -29,20 +32,21 @@ from automix_tpu.model import ModelSet
 
 
 def build_hmc_move(modelset: ModelSet, cfg: EngineConfig):
-    """Single-chain HMC move ``(u_acc, z, k, theta, logp, sig_k, mask_k) ->
-    (theta, logp, accepted)`` (to be vmapped by the sweep kernel).
+    """Single-chain HMC move ``(u_acc, u_jit, z, k, theta, logp, eps,
+    mask_k) -> (theta, logp, accepted)`` (to be vmapped by the sweep
+    kernel).
 
-    ``u_acc`` is this chain's accept uniform and ``z`` [D] its momentum
-    draw, both sliced from the sweep's batched random block (see
-    rjmcmc.draw_sweep_randoms)."""
-    D = modelset.dmax
-    dtype = cfg.dtype
+    ``u_acc`` is this chain's accept uniform, ``u_jit`` its trajectory-
+    length uniform, ``z`` [D] its momentum draw (all sliced from the
+    sweep's batched random block, rjmcmc.draw_sweep_randoms), and ``eps``
+    [D] its fully resolved leapfrog step sizes (per-model tuned scale x
+    stage-1 sig, computed by the caller as one one-hot contraction)."""
     n_steps = cfg.hmc_steps
 
     grad_logp = jax.grad(modelset.logpost_padded, argnums=1)
 
-    def move(u_acc, u_jit, z, k, theta, logp, sig_k, mask_k):
-        eps = cfg.hmc_step_scale * sig_k * mask_k
+    def move(u_acc, u_jit, z, k, theta, logp, eps, mask_k):
+        eps = eps * mask_k
         p0 = z * mask_k
         if cfg.hmc_jitter:
             my_steps = 1 + jnp.floor(u_jit * n_steps).astype(jnp.int32)
@@ -50,20 +54,22 @@ def build_hmc_move(modelset: ModelSet, cfg: EngineConfig):
         else:
             my_steps = jnp.asarray(n_steps, jnp.int32)
 
+        g0 = grad_logp(k, theta) * mask_k
+
         def leapfrog(carry, i):
-            q, p = carry
+            q, p, g = carry
             live = i < my_steps
-            g = grad_logp(k, q) * mask_k
             p_half = p + 0.5 * eps * g
             q_new = (q + eps * p_half) * mask_k
             g_new = grad_logp(k, q_new) * mask_k
             p_new = p_half + 0.5 * eps * g_new
             q = jnp.where(live, q_new, q)
             p = jnp.where(live, p_new, p)
-            return (q, p), None
+            g = jnp.where(live, g_new, g)
+            return (q, p, g), None
 
-        (q, p), _ = jax.lax.scan(leapfrog, (theta, p0),
-                                 jnp.arange(n_steps))
+        (q, p, _), _ = jax.lax.scan(leapfrog, (theta, p0, g0),
+                                    jnp.arange(n_steps))
         lp_new = modelset.logpost_padded(k, q)
         # guard non-finite trajectories (diverged leapfrog)
         bad = ~(jnp.all(jnp.isfinite(q)) & jnp.isfinite(lp_new))
@@ -76,3 +82,74 @@ def build_hmc_move(modelset: ModelSet, cfg: EngineConfig):
         return theta, logp, acc
 
     return move
+
+
+def tune_step_scale(modelset: ModelSet, cfg: EngineConfig, sig, key,
+                    n_rounds: int = 100, n_chains_per_model: int = 256):
+    """Dual-averaging tuning of the per-model HMC step-size multiplier.
+
+    Runs ``n_rounds`` HMC moves on ``n_chains_per_model`` chains pinned to
+    each model (the stage-1 chain layout), pooling the acceptance rate per
+    model each round, and adapts ``log scale_k`` by Nesterov dual averaging
+    (Hoffman & Gelman 2014, Algorithm 5) toward ``cfg.hmc_target_accept``:
+
+        Hbar_t   = (1 - w_t) Hbar_{t-1} + w_t (delta - a_t),  w_t = 1/(t+t0)
+        log s_t  = mu - sqrt(t)/gamma * Hbar_t
+        log sbar = t^-kappa log s_t + (1 - t^-kappa) log sbar_{t-1}
+
+    Returns the tuned multipliers as a [K] numpy array (install them via
+    ``EngineConfig.hmc_step_scale=tuple(...)``).  The pooled acceptance is
+    a cross-chain mean, so the gradient of each update has ~C times lower
+    variance than single-chain dual averaging — the same pooling argument
+    as stage 1's Robbins-Monro scale adaptation (kernels/rwm.py).
+    """
+    import numpy as np
+
+    K, D = modelset.nmodels, modelset.dmax
+    dtype = cfg.dtype
+    C = n_chains_per_model
+    M = K * C
+    delta = cfg.hmc_target_accept
+    t0, gamma, kappa = 10.0, 0.05, 0.75
+    mu0 = float(jnp.log(10.0 * cfg.hmc_step_scale)) \
+        if jnp.ndim(cfg.hmc_step_scale) == 0 else float(jnp.log(2.0))
+
+    move = jax.vmap(build_hmc_move(modelset, cfg),
+                    in_axes=(0, 0, 0, 0, 0, 0, 0, 0))
+    dims = modelset.dims_device
+    coords = jnp.arange(D)
+    k_assign = jnp.repeat(jnp.arange(K, dtype=jnp.int32), C)
+    mask = (coords[None, :] < dims[k_assign][:, None]).astype(dtype)
+    onehot_k = jax.nn.one_hot(k_assign, K, dtype=dtype)        # [M, K]
+    sig_k = onehot_k @ sig                                      # [M, D]
+
+    key, k_init = jax.random.split(key)
+    theta0 = modelset.init_points(k_init)[k_assign]
+    lp0 = modelset.logpost_batch(k_assign, theta0)
+
+    def round_body(carry, t):
+        theta, lp, log_s, log_sbar, hbar, rkey = carry
+        rkey, ku, kj, kz = jax.random.split(rkey, 4)
+        u = jax.random.uniform(ku, (M,), dtype)
+        uj = jax.random.uniform(kj, (M,), dtype)
+        z = jax.random.normal(kz, (M, D), dtype)
+        eps = (onehot_k @ jnp.exp(log_s))[:, None] * sig_k
+        theta, lp, acc = move(u, uj, z, k_assign, theta, lp, eps, mask)
+        a_k = (onehot_k.T @ acc.astype(dtype)) / C              # [K]
+        tt = t.astype(dtype)
+        w = 1.0 / (tt + t0)
+        hbar = (1.0 - w) * hbar + w * (delta - a_k)
+        log_s = mu0 - jnp.sqrt(tt) / gamma * hbar
+        eta = tt ** (-kappa)
+        log_sbar = eta * log_s + (1.0 - eta) * log_sbar
+        return (theta, lp, log_s, log_sbar, hbar, rkey), a_k
+
+    init = (theta0, lp0,
+            jnp.full((K,), mu0 - jnp.log(10.0), dtype),
+            jnp.full((K,), mu0 - jnp.log(10.0), dtype),
+            jnp.zeros((K,), dtype), key)
+    carry, _accepts = jax.jit(
+        lambda c: jax.lax.scan(round_body, c,
+                               jnp.arange(1, n_rounds + 1)))(init)
+    log_sbar = carry[3]
+    return np.asarray(jnp.exp(log_sbar), np.float64)

@@ -274,8 +274,13 @@ def build_sweep_all(modelset: ModelSet, cfg: EngineConfig, burning: bool,
             return theta, logp, zero, zero, nacc, ntry
 
         if hmc_move is not None:
+            scale = jnp.asarray(cfg.hmc_step_scale, dtype)
+            if scale.ndim == 0:
+                eps_k = scale * sig_k
+            else:       # per-model tuned multipliers (kernels/hmc.py)
+                eps_k = (onehot_k @ scale)[:, None] * sig_k
             theta, logp, acc = hmc_move(us("rwm")[:, 0], us("extra")[:, 0],
-                                        z[:, :D], k, theta, logp, sig_k,
+                                        z[:, :D], k, theta, logp, eps_k,
                                         mask_k)
             naccb = acc.astype(jnp.int32)
             ntryb = k * 0 + 1
@@ -381,6 +386,22 @@ def build_sweep_all(modelset: ModelSet, cfg: EngineConfig, burning: bool,
         # (automix.c:1258-1281); skipped while burning and for K == 1.
         if adapt and K > 1:
             onehot_new = jax.nn.one_hot(k, K, dtype=dtype)
+            if cfg.pk_mode == "pooled":
+                # Shared pk from the global visit histogram: same gamma
+                # schedule, same expected drift as the single-chain update,
+                # with a chains-times lower-variance gradient.  All rows of
+                # pk stay identical (they start identical), so the re-init
+                # safeguard below acts coherently on the shared vector.
+                hist = onehot_new.sum(axis=0)
+                n_total = jnp.asarray(S, dtype)
+                if axis_name is not None:
+                    hist = jax.lax.psum(hist, axis_name)
+                    n_total = jax.lax.psum(n_total, axis_name)
+                onehot_new = jnp.broadcast_to(
+                    (hist / n_total)[None, :], pk.shape)
+                if axis_name is not None:
+                    from automix_tpu.parallel.mesh import pvary
+                    onehot_new = pvary(onehot_new, axis_name)
             pk = pk + gamma * (onehot_new - pk)
             reinit = jnp.any(pk < pkllim[:, None], axis=1)
             nreinit = nreinit + reinit.astype(jnp.int32)
@@ -425,15 +446,29 @@ def _chunk_scan(sweep_all, modelset, cfg, collect, chains, prop, n_sweeps,
     n_trace = cfg.n_trace_chains
     tables = precompute_tables(prop, modelset.dims_device, dtype)
 
+    def kahan(s, c, x):
+        """Compensated add: the scan accumulates S-chain partial sums over
+        up to thousands of sweeps sequentially; Kahan compensation keeps the
+        float32 carry's error at one rounding per *chunk* instead of one per
+        sweep (32k chains x 50k sweeps of plain float32 adds visibly biases
+        the change-point position moments, whose squares reach ~1.6e9)."""
+        y = x - c
+        t = s + y
+        return t, (t - s) - y
+
     def body(carry, _):
         ch, acc = carry
         ch, stats = sweep_all(ch, prop, tables)
         k, theta = ch.k, ch.theta
         onehot = jax.nn.one_hot(k, K, dtype=dtype)         # [S, K]
+        tsum, tsum_c = kahan(acc["theta_sum"], acc["theta_sum_c"],
+                             onehot.T @ theta)
+        tsq, tsq_c = kahan(acc["theta_sqsum"], acc["theta_sqsum_c"],
+                           onehot.T @ (theta * theta))
         acc = {
             "ksummary": acc["ksummary"] + onehot.sum(axis=0).astype(jnp.int32),
-            "theta_sum": acc["theta_sum"] + onehot.T @ theta,
-            "theta_sqsum": acc["theta_sqsum"] + onehot.T @ (theta * theta),
+            "theta_sum": tsum, "theta_sum_c": tsum_c,
+            "theta_sqsum": tsq, "theta_sqsum_c": tsq_c,
             "naccrwmb": acc["naccrwmb"] + stats["naccrwmb"].sum(),
             "ntryrwmb": acc["ntryrwmb"] + stats["ntryrwmb"].sum(),
             "naccrwms": acc["naccrwms"] + stats["naccrwms"].sum(),
@@ -465,7 +500,9 @@ def _chunk_scan(sweep_all, modelset, cfg, collect, chains, prop, n_sweeps,
     acc0 = {
         "ksummary": jnp.zeros((K,), jnp.int32),
         "theta_sum": jnp.zeros((K, D), dtype),
+        "theta_sum_c": jnp.zeros((K, D), dtype),
         "theta_sqsum": jnp.zeros((K, D), dtype),
+        "theta_sqsum_c": jnp.zeros((K, D), dtype),
         "naccrwmb": jnp.int32(0), "ntryrwmb": jnp.int32(0),
         "naccrwms": jnp.int32(0), "ntryrwms": jnp.int32(0),
         "nacctd": jnp.int32(0), "ntrytd": jnp.int32(0),
@@ -476,6 +513,10 @@ def _chunk_scan(sweep_all, modelset, cfg, collect, chains, prop, n_sweeps,
     (chains_out, acc), traces = jax.lax.scan(
         body, (chains, acc0), None, length=n_sweeps)
     chunk = dict(acc)
+    # Fold the Kahan compensation into the sums before they leave the chunk
+    # (the compensation term holds the negated residual of the last add).
+    chunk["theta_sum"] = chunk["theta_sum"] - chunk.pop("theta_sum_c")
+    chunk["theta_sqsum"] = chunk["theta_sqsum"] - chunk.pop("theta_sqsum_c")
     if collect and traces is not None:
         chunk.update(traces)
     return chains_out, chunk

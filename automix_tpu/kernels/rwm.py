@@ -57,17 +57,26 @@ def _accept_prob(delta):
 
 def _build_stage1_core(modelset: ModelSet, cfg: EngineConfig, nsweeps: int,
                        c_total: int, init_theta, block_key,
-                       axis_name=None):
+                       axis_name=None, n_tail: int = 1):
     """Build the jittable stage-1 body over a (possibly local) chain block.
 
     ``core(chain_keys [K, C_local]) ->
-        (sig [K, D], samples [K, C_local, D], tele_sig, tele_acc,
+        (sig [K, D], samples [K, C_local * n_tail, D], tele_sig, tele_acc,
          lp [K, C_local])``
 
     ``c_total`` is the *global* chain count per model; acceptance counts are
     pooled across it (``psum`` over ``axis_name`` when sharded).  All
     cross-chain statistics are integer counts, so the pooled mean — and the
     adapted ``sig`` trajectory — is independent of the sharding layout.
+
+    ``n_tail`` > 1 collects that many thinned snapshots of every chain from
+    the back half of the run (the engine's version of the reference's
+    every-10th-sweep tail thinning, automix.c:642-647): the stage-2 EM fit
+    needs ~1000*mdim samples at high dim — far more than one final state
+    per chain — or the MML reweight ``max(0, sumw - nparams/2)``
+    (automix.c:779) annihilates every component.  Snapshots are laid out
+    chain-major ([K, C, T, D] flattened over (C, T)) so the sharded run's
+    per-shard blocks concatenate to exactly the unsharded order.
     """
     K, D = modelset.nmodels, modelset.dmax
     dtype = cfg.dtype
@@ -75,6 +84,11 @@ def _build_stage1_core(modelset: ModelSet, cfg: EngineConfig, nsweeps: int,
 
     nburn = nsweeps // 10
     total = nsweeps + nburn
+    # Thinned-tail snapshot schedule: n_tail writes, evenly strided across
+    # the back half of the (post-burn) run.
+    n_tail = max(1, min(n_tail, max(1, (total - nburn) // 2)))
+    stride = max(1, (total - max(nburn, total // 2)) // n_tail)
+    smp_start = total - n_tail * stride
     n_tele = max(1, total // TELEMETRY_EVERY)
     dims = modelset.dims_device                     # [K]
     coords = jnp.arange(D)
@@ -153,7 +167,7 @@ def _build_stage1_core(modelset: ModelSet, cfg: EngineConfig, nsweeps: int,
             return theta, lp
 
         def sweep_body(carry, sweep):
-            theta, lp, sig, nacc, ntry, tele_sig, tele_acc = carry
+            theta, lp, sig, nacc, ntry, tele_sig, tele_acc, smp = carry
             # two batched draws per sweep (see rjmcmc.draw_sweep_randoms)
             skeys = jax.vmap(lambda ck: jax.random.fold_in(ck, sweep))(chain_keys)
             ku = jax.vmap(lambda ck: jax.random.fold_in(ck, 0))(skeys)
@@ -189,13 +203,24 @@ def _build_stage1_core(modelset: ModelSet, cfg: EngineConfig, nsweeps: int,
                 write, lambda ts: ts.at[t_idx].set(sig), lambda ts: ts, tele_sig)
             tele_acc = jax.lax.cond(
                 write, lambda ta: ta.at[t_idx].set(ratio), lambda ta: ta, tele_acc)
-            return (theta, lp, sig, nacc, ntry, tele_sig, tele_acc), None
+
+            # thinned-tail snapshot for the stage-2 fit (automix.c:642-647)
+            do_smp = (sweep > smp_start) & (((sweep - smp_start) % stride) == 0)
+            s_idx = jnp.clip((sweep - smp_start) // stride - 1, 0, n_tail - 1)
+            smp = jax.lax.cond(
+                do_smp, lambda b: b.at[s_idx].set(theta), lambda b: b, smp)
+            return (theta, lp, sig, nacc, ntry, tele_sig, tele_acc, smp), None
 
         sweeps = jnp.arange(1, total + 1)
-        carry0 = (theta0, lp0, sig0, nacc0, ntry0, tele_sig0, tele_acc0)
-        (theta, lp, sig, nacc, ntry, tele_sig, tele_acc), _ = jax.lax.scan(
-            sweep_body, carry0, sweeps)
-        samples = theta.reshape(K, C, D)
+        smp0 = pvary(jnp.zeros((n_tail, M, D), dtype), axis_name)
+        carry0 = (theta0, lp0, sig0, nacc0, ntry0, tele_sig0, tele_acc0, smp0)
+        (theta, lp, sig, nacc, ntry, tele_sig, tele_acc, smp), _ = \
+            jax.lax.scan(sweep_body, carry0, sweeps)
+        # [T, K*C, D] -> [K, C, T, D] -> [K, C*T, D]: chain-major, so the
+        # sharded run's per-shard sample blocks concatenate to exactly the
+        # unsharded layout.
+        samples = smp.reshape(n_tail, K, C, D).transpose(1, 2, 0, 3) \
+            .reshape(K, C * n_tail, D)
         return sig, samples, tele_sig, tele_acc, lp.reshape(K, C)
 
     return core, total
@@ -218,6 +243,12 @@ def run_stage1(modelset: ModelSet, cfg: EngineConfig, key, nsweeps: int,
     K, D = modelset.nmodels, modelset.dmax
     C = n_chains_per_model or cfg.n_chains_stage1
 
+    # Stage-2 sample budget: the reference fits 1000*mdim thinned draws per
+    # model (automix.c:642-647); with C parallel chains each contributing
+    # n_tail thinned tail snapshots, n_tail = ceil(target / C).
+    target = cfg.stage1_target_samples or 1000 * D
+    n_tail = -(-target // C)
+
     key, k_init, k_chains = jax.random.split(key, 3)
     init_theta = modelset.init_points(k_init)       # [K, D]
     block_key = jax.random.fold_in(key, 7)
@@ -229,7 +260,8 @@ def run_stage1(modelset: ModelSet, cfg: EngineConfig, key, nsweeps: int,
 
     core, total = _build_stage1_core(
         modelset, cfg, nsweeps, C, init_theta, block_key,
-        axis_name=None if mesh is None else _mesh_axis(mesh))
+        axis_name=None if mesh is None else _mesh_axis(mesh),
+        n_tail=n_tail)
 
     if mesh is None:
         fn = jax.jit(core)

@@ -78,6 +78,23 @@ class AMSampler:
         if self.proposal is None:
             self.estimate_conditional_probs()
 
+    def _ensure_hmc_tuned(self):
+        """Dual-average the per-model HMC step-size multipliers before the
+        first stage-3 runner is built (kernels/hmc.py:tune_step_scale).
+        No-op unless within_move='hmc' with autotune on and a still-scalar
+        hmc_step_scale."""
+        import numpy as np  # noqa: F811 (module-level import shadow is fine)
+        if (self.cfg.within_move != "hmc" or not self.cfg.hmc_autotune
+                or np.ndim(self.cfg.hmc_step_scale) != 0 or self._runners):
+            return
+        import dataclasses
+
+        from automix_tpu.kernels.hmc import tune_step_scale
+        scales = tune_step_scale(self.modelset, self.cfg, self.proposal.sig,
+                                 self._next_key())
+        self.cfg = dataclasses.replace(
+            self.cfg, hmc_step_scale=tuple(float(s) for s in scales))
+
     def _ensure_chains(self):
         if self.chains is None:
             self.chains = rjmcmc.init_chains(
@@ -161,6 +178,7 @@ class AMSampler:
         automix.c:135-155)."""
         t0 = time.perf_counter()
         self._ensure_proposal()
+        self._ensure_hmc_tuned()
         self._ensure_chains()
         self._run_sweeps(nsweeps, burning=True, collect=False, stats=None)
         if self.stats is None:
@@ -176,6 +194,7 @@ class AMSampler:
         """
         t0 = time.perf_counter()
         self._ensure_proposal()
+        self._ensure_hmc_tuned()
         self._ensure_chains()
         if self.stats is None:
             self.stats = RunStats(self.modelset.nmodels, self.modelset.dmax)

@@ -14,7 +14,8 @@ def test_stage1_normal_sampler_moments():
     key = jax.random.PRNGKey(0)
     sig, samples, tele = rwm.run_stage1(ms, cfg, key, 600)
     assert sig.shape == (1, 1)
-    assert samples.shape == (1, 256, 1)
+    # 256 chains x ceil(1000*dmax / 256) = 4 thinned tail snapshots each
+    assert samples.shape == (1, 1024, 1)
     x = np.asarray(samples[0, :, 0])
     # target N(0.5, 1): loose MC tolerances on 256 draws
     assert abs(x.mean() - 0.5) < 0.25
@@ -28,7 +29,8 @@ def test_stage1_multi_model_masks_padding():
     cfg = EngineConfig(n_chains_stage1=128, stage1_sweeps=400)
     sig, samples, tele = rwm.run_stage1(ms, cfg, jax.random.PRNGKey(1), 400)
     assert sig.shape == (2, 2)
-    assert samples.shape == (2, 128, 2)
+    # 128 chains x ceil(1000*dmax / 128) = 16 tail snapshots each
+    assert samples.shape == (2, 2048, 2)
     s = np.asarray(samples)
     assert np.all(np.isfinite(s))
     # Gamma model: alpha,beta positive posterior mass
