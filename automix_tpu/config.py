@@ -109,6 +109,19 @@ class EngineConfig:
     # sweeps for one chain; pooled adaptation across n_chains_stage1 chains
     # converges in far fewer.
     stage1_sweeps: int = 10000
+    # Stage-1 scale-adaptation rule.  "aap": the reference's additive AAP
+    # update sig += 10*(1/t)^(2/3) * (accept - 0.25), clipped at 0
+    # (automix.c:619,634,638) — exact parity, but *additive*: it cannot
+    # resolve proposal scales far below its gain, which is why the C code
+    # needs 10000*mdim sweeps when coordinates live at scale 1e-3 (e.g. the
+    # change-point rates, usercpt.c).  "log": multiplicative Robbins-Monro
+    # on the same pooled acceptance signal,
+    #     sig *= exp(gain * t^(-2/3) * (accept - 0.25)),
+    # which is scale-free (equally fast at sig=1e-4 and 1e+4) and converges
+    # in O(100) pooled sweeps from the same sig=10 start.
+    stage1_adapt: str = "aap"
+    # Log-space Robbins-Monro gain for stage1_adapt="log".
+    stage1_log_gain: float = 3.0
     # Number of sweeps compiled into one lax.scan chunk of the stage-3 hot
     # loop.  Host-side int64/float64 accumulation between chunks avoids
     # int32 overflow of visit counters without enabling jax_enable_x64.
@@ -143,6 +156,8 @@ class EngineConfig:
             raise ValueError(f"unknown within_move {self.within_move!r}")
         if self.pk_mode not in ("per_chain", "pooled"):
             raise ValueError(f"unknown pk_mode {self.pk_mode!r}")
+        if self.stage1_adapt not in ("aap", "log"):
+            raise ValueError(f"unknown stage1_adapt {self.stage1_adapt!r}")
         if self.rng in ("fast", "pallas") and self.student_t_dof > 0:
             # The fast counter-hash and pallas hardware-PRNG paths emit
             # N(0,1) perturbations only, while the RJ acceptance ratio

@@ -128,7 +128,7 @@ def _build_stage1_core(modelset: ModelSet, cfg: EngineConfig, nsweeps: int,
             the per-coordinate acceptance counts can be pooled into ONE
             [K, D] update — and one psum — per sweep.
             """
-            gamma = 10.0 * (1.0 / (sweep + 1.0)) ** (2.0 / 3.0)
+            gamma_t = (1.0 / (sweep + 1.0)) ** (2.0 / 3.0)
             sig_sel = onehot_k @ sig                               # [M, D]
 
             def coord_body(j, carry):
@@ -149,9 +149,13 @@ def _build_stage1_core(modelset: ModelSet, cfg: EngineConfig, nsweeps: int,
                 0, D, coord_body, (theta, lp, acc_cols0))
             acc_cols = psum(acc_cols)                # exact global counts
             mean_acc = acc_cols.astype(dtype) / c_total
-            upd = gamma * (mean_acc - RWM_TARGET_ACCEPT) \
-                * coord_active.astype(dtype)
-            sig = jnp.maximum(sig + upd, 0.0)
+            err = (mean_acc - RWM_TARGET_ACCEPT) * coord_active.astype(dtype)
+            if cfg.stage1_adapt == "log":
+                # scale-free multiplicative update (config.py stage1_adapt)
+                sig = sig * jnp.exp(cfg.stage1_log_gain * gamma_t * err)
+            else:
+                # reference AAP rule, gain 10 (automix.c:619,634,638)
+                sig = jnp.maximum(sig + 10.0 * gamma_t * err, 0.0)
             nacc = nacc + acc_cols
             ntry = ntry + coord_active.astype(jnp.int32) * c_total
             return theta, lp, sig, nacc, ntry

@@ -1,0 +1,226 @@
+#!/usr/bin/env python
+"""Multi-target performance suite: throughput, roofline, scaling curve.
+
+``bench.py`` stays the driver's single-line headline metric (tutorial
+target).  This suite adds the perf depth the headline cannot carry:
+
+* throughput on three targets spanning the cost spectrum — ``tutorial``
+  (K=3, d<=2, trivial likelihood), ``rb9`` (K=10, d<=6, Poisson/NB over 4
+  groups), ``ddi`` (K=2, d<=16, 467-patient longitudinal MVN likelihood —
+  the reference's heavyweight, userddi.c:1-796);
+* a roofline placement for each: XLA's compiled ``cost_analysis`` gives
+  flops and HBM bytes per chunk; dividing by measured chunk time yields
+  achieved FLOP/s and GB/s against the chip's peaks (the sweep kernel is
+  VPU/HBM-bound at these tiny dims — the MXU ceiling is not the binding
+  one, so the HBM fraction is the honest utilization number);
+* a chains -> throughput scaling curve on the tutorial target (the chain
+  axis is the engine's throughput axis; the curve shows where the chip
+  saturates and latency amortizes);
+* optional ``--profile``: captures a ``jax.profiler`` device trace of one
+  production chunk per target and writes a top-op summary.
+
+Writes ``PERF.json`` and prints a human-readable table.  Run on the TPU
+(falls back to CPU with the same methodology, flagged in the output).
+"""
+
+import argparse
+import glob
+import gzip
+import json
+import os
+import time
+
+import numpy as np
+
+# Chip peaks for roofline placement.
+CHIP_PEAKS = {
+    # device_kind prefix: (peak FLOP/s dense fp32-accumulated, HBM B/s)
+    # TPU v5e (v5 lite): 197 TFLOP/s bf16, 16 GB HBM at 819 GB/s.
+    "TPU v5 lite": (197e12, 819e9),
+    "TPU v5": (459e12, 1228e9),       # v5p
+    "TPU v4": (275e12, 1228e9),
+    "cpu": (5e11, 5e10),              # order-of-magnitude host numbers
+}
+
+
+def chip_peaks(dev):
+    kind = getattr(dev, "device_kind", "cpu")
+    for prefix, peaks in CHIP_PEAKS.items():
+        if kind.startswith(prefix):
+            return kind, peaks
+    return kind, CHIP_PEAKS["cpu"]
+
+
+def build_sampler(target, n_chains, seed=0):
+    from automix_tpu.config import EngineConfig
+    from automix_tpu.sampler import AMSampler
+
+    if target == "tutorial":
+        from automix_tpu.models.tutorial import tutorial_set
+        ms = tutorial_set()
+        cfg = EngineConfig(n_chains=n_chains, n_chains_stage1=1024,
+                           stage1_sweeps=2000, sweep_chunk=1000, seed=seed,
+                           trace_chain0=False, n_trace_chains=1)
+    elif target == "rb9":
+        from automix_tpu.models.rb9 import rb9_set
+        ms = rb9_set()
+        cfg = EngineConfig(n_chains=n_chains, n_chains_stage1=1024,
+                           stage1_sweeps=2000, sweep_chunk=500, seed=seed,
+                           trace_chain0=False, n_trace_chains=1)
+    elif target == "ddi":
+        from automix_tpu.models.ddi import ddi_set
+        ms = ddi_set()
+        cfg = EngineConfig(n_chains=n_chains, n_chains_stage1=512,
+                           stage1_sweeps=1500, sweep_chunk=200, seed=seed,
+                           trace_chain0=False, n_trace_chains=1)
+    else:
+        raise SystemExit(f"unknown target {target}")
+    return AMSampler(ms, cfg)
+
+
+def chunk_cost_analysis(am, n_sweeps):
+    """flops and HBM bytes of one compiled production chunk."""
+    from automix_tpu.kernels import rjmcmc
+
+    runner = rjmcmc.build_chunk_runner(am.modelset, am.cfg, burning=False,
+                                       collect=False, mesh=None)
+    try:
+        lowered = runner.lower(am.chains, am.proposal, n_sweeps)
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, list):       # older jax returns [dict]
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        nbytes = float(cost.get("bytes accessed", 0.0))
+        return flops, nbytes
+    except Exception as e:  # noqa: BLE001 - cost analysis is best-effort
+        print(f"# cost_analysis unavailable: {e}")
+        return 0.0, 0.0
+
+
+def bench_target(target, n_chains, n_sweeps, warmup, profile_dir=None):
+    import jax
+
+    am = build_sampler(target, n_chains)
+    t0 = time.perf_counter()
+    am.estimate_conditional_probs()
+    t_adapt = time.perf_counter() - t0
+    am.burn_samples(max(warmup, 200))
+    am.rjmcmc_samples(warmup, collect=False)   # compile + warm
+
+    t0 = time.perf_counter()
+    am.rjmcmc_samples(n_sweeps, collect=False)
+    elapsed = time.perf_counter() - t0
+    sweeps_s = n_chains * n_sweeps / elapsed
+
+    flops, nbytes = chunk_cost_analysis(am, am.cfg.sweep_chunk)
+    chunk_t = elapsed * am.cfg.sweep_chunk / n_sweeps
+    kind, (peak_flops, peak_bw) = chip_peaks(jax.devices()[0])
+    achieved_flops = flops / chunk_t if flops else 0.0
+    achieved_bw = nbytes / chunk_t if nbytes else 0.0
+
+    result = {
+        "target": target,
+        "n_chains": n_chains,
+        "n_sweeps": n_sweeps,
+        "seconds": round(elapsed, 4),
+        "adapt_seconds": round(t_adapt, 2),
+        "chain_sweeps_per_s": round(sweeps_s, 1),
+        "flops_per_chain_sweep": round(flops / (am.cfg.sweep_chunk * n_chains), 1) if flops else None,
+        "hbm_bytes_per_chain_sweep": round(nbytes / (am.cfg.sweep_chunk * n_chains), 1) if nbytes else None,
+        "achieved_tflops": round(achieved_flops / 1e12, 3),
+        "achieved_hbm_gbs": round(achieved_bw / 1e9, 1),
+        "pct_peak_flops": round(100 * achieved_flops / peak_flops, 2),
+        "pct_peak_hbm": round(100 * achieved_bw / peak_bw, 2),
+        "device": kind,
+    }
+
+    if profile_dir:
+        import jax.profiler
+        tdir = os.path.join(profile_dir, target)
+        jax.profiler.start_trace(tdir)
+        am.rjmcmc_samples(am.cfg.sweep_chunk, collect=False)
+        jax.profiler.stop_trace()
+        result["trace_top_ops"] = summarize_trace(tdir)
+    return result
+
+
+def summarize_trace(tdir, top=12):
+    """Top device ops by total self-time from a jax.profiler trace."""
+    paths = glob.glob(os.path.join(tdir, "**", "*.trace.json.gz"),
+                      recursive=True)
+    if not paths:
+        return None
+    with gzip.open(sorted(paths)[-1], "rt") as f:
+        trace = json.load(f)
+    events = trace.get("traceEvents", [])
+    # device lanes are the pids whose process_name mentions TPU/device
+    device_pids = set()
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            name = e.get("args", {}).get("name", "")
+            if any(s in name for s in ("TPU", "/device:", "Device")):
+                device_pids.add(e.get("pid"))
+    totals = {}
+    for e in events:
+        if e.get("ph") == "X" and e.get("pid") in device_pids:
+            totals[e["name"]] = totals.get(e["name"], 0.0) + e.get("dur", 0.0)
+    ranked = sorted(totals.items(), key=lambda kv: -kv[1])[:top]
+    total = sum(totals.values()) or 1.0
+    return [{"op": k, "us": round(v, 1), "pct": round(100 * v / total, 1)}
+            for k, v in ranked]
+
+
+def scaling_curve(chain_counts, n_sweeps=20_000):
+    out = []
+    for n in chain_counts:
+        am = build_sampler("tutorial", n)
+        am.burn_samples(500)
+        am.rjmcmc_samples(1000, collect=False)
+        t0 = time.perf_counter()
+        am.rjmcmc_samples(n_sweeps, collect=False)
+        dt = time.perf_counter() - t0
+        out.append({"n_chains": n, "chain_sweeps_per_s":
+                    round(n * n_sweeps / dt, 1),
+                    "sweep_latency_us": round(1e6 * dt / n_sweeps, 2)})
+        print(f"# scaling: {n:>7} chains -> "
+              f"{out[-1]['chain_sweeps_per_s']:.3e} sweeps/s", flush=True)
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--targets", default="tutorial,rb9,ddi")
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--profile", action="store_true")
+    ap.add_argument("--out", default="PERF.json")
+    args = ap.parse_args()
+
+    import jax
+    dev = jax.devices()[0]
+    print(f"# device: {dev.device_kind} ({dev.platform})", flush=True)
+
+    spec = {
+        "tutorial": (32_768, 50_000, 1000),
+        "rb9": (16_384, 10_000, 500),
+        "ddi": (8_192, 2_000, 200),
+    }
+    results = {"device": dev.device_kind, "platform": dev.platform,
+               "targets": [], "ts": time.strftime("%Y-%m-%d %H:%M:%S")}
+    profile_dir = "/tmp/automix_traces" if args.profile else None
+    for t in args.targets.split(","):
+        n_chains, n_sweeps, warm = spec[t]
+        r = bench_target(t, n_chains, n_sweeps, warm, profile_dir)
+        results["targets"].append(r)
+        print(json.dumps(r), flush=True)
+
+    if args.scaling:
+        results["scaling"] = scaling_curve(
+            [4096, 8192, 16_384, 32_768, 65_536, 131_072])
+
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=1)
+    print(f"# wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
