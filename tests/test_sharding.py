@@ -118,8 +118,11 @@ def test_stage2_sharded_matches_unsharded(eight_devices):
     prop_s, _ = em.fit_proposal(ms, cfg, samples_s, sig_s, k2, mesh=mesh)
     np.testing.assert_array_equal(np.asarray(prop_u.nmix),
                                   np.asarray(prop_s.nmix))
+    # psum reduction-order differences compound across up to 60 EM
+    # iterations; 1e-4 bounds the observed drift with margin while still
+    # catching any real sufficient-statistics bug (those are O(1) errors).
     np.testing.assert_allclose(np.asarray(prop_u.lam),
-                               np.asarray(prop_s.lam), atol=2e-5)
+                               np.asarray(prop_s.lam), atol=1e-4)
     np.testing.assert_allclose(np.asarray(prop_u.mu),
                                np.asarray(prop_s.mu), atol=2e-4)
     np.testing.assert_allclose(np.asarray(prop_u.B),

@@ -54,3 +54,40 @@ def test_stage1_respects_different_dims():
     assert np.all(np.asarray(samples[0, :, 1:]) == 0.0)
     # padded sig coords never updated from their 10.0 init
     assert np.all(np.asarray(sig[0, 1:]) == 10.0)
+
+
+def test_stage1_log_adaptation_resolves_tiny_scales():
+    """stage1_adapt='log': the multiplicative Robbins-Monro rule reaches
+    proposal scales far below the additive AAP gain in a few hundred pooled
+    sweeps (config.py stage1_adapt).  Target posterior scale 1e-3: the AAP
+    rule's additive steps (gain 10) cannot get near it this fast, while the
+    log rule lands within an order of magnitude and keeps acceptance near
+    the 0.25 target."""
+    import jax.numpy as jnp
+    from automix_tpu.model import Model, ModelSet
+    scale = 1e-3
+    ms = ModelSet([Model(
+        "tiny", 1, lambda th: -0.5 * (th[0] / scale) ** 2,
+        init=np.array([0.0]))])
+    cfg = EngineConfig(n_chains_stage1=256, stage1_adapt="log")
+    sig, samples, tele = rwm.run_stage1(ms, cfg, jax.random.PRNGKey(3), 600)
+    s = float(sig[0, 0])
+    assert 1e-4 < s < 2e-2, s
+    acc = np.asarray(tele["accept_trace"])[-1, 0]
+    assert 0.1 < acc < 0.45, acc
+    # and the collected samples actually live at the target's scale
+    x = np.asarray(samples[0, :, 0])
+    assert abs(x.std() - scale) < scale, x.std()
+
+
+def test_stage1_log_adaptation_matches_aap_posterior():
+    """Both adaptation rules must yield stage-1 samples from the same
+    target (N(0.5, 1)) — the rule only changes how fast sig converges."""
+    ms = builtin.normal_sampler_set()
+    for rule in ("aap", "log"):
+        cfg = EngineConfig(n_chains_stage1=256, stage1_adapt=rule)
+        sig, samples, _ = rwm.run_stage1(
+            ms, cfg, jax.random.PRNGKey(4), 600)
+        x = np.asarray(samples[0, :, 0])
+        assert abs(x.mean() - 0.5) < 0.25, (rule, x.mean())
+        assert abs(x.std() - 1.0) < 0.3, (rule, x.std())
