@@ -195,6 +195,12 @@ def main(argv=None):
                                   nsweep=args.nsweep)
     agg = stats.n_chains * stats.nsweeps / max(stats.timesecs_rjmcmc, 1e-9)
     print(f"Stage-3 throughput: {agg:,.0f} chain-sweeps/s")
+    # Per-stage wall-clock, the reference's main.c:107-109 / logwrite.c:340-342
+    # report (timesecs_condprobs/burn/rjmcmc, automix.h:169,204-205).
+    print(f"Time: conditional-probability estimation "
+          f"{am.cpstats.timesecs_condprobs:.3f} sec, "
+          f"burn-in {stats.timesecs_burn:.3f} sec, "
+          f"rjmcmc {stats.timesecs_rjmcmc:.3f} sec.")
     print(f"Total time elapsed: {time.perf_counter() - t0:.3f} sec.")
     return 0
 
