@@ -133,22 +133,23 @@ class ModelSet:
         """Batched log-posterior: k [S], theta_pad [S, dmax] -> [S].
 
         The generic path evaluates every model's density on the whole batch
-        and one-hot selects — exactly the work a ``vmap`` of the
-        ``lax.switch`` would do (batched cond lowers to select-all-branches)
-        but without the cond primitive, which keeps the batch free of
-        per-branch control flow under ``shard_map``/``vmap`` nesting and
-        matches the engine's gather-free hot-loop design."""
+        and combines with ``lax.select_n`` — the same select-all-branches
+        work a ``vmap`` of the ``lax.switch`` lowers to, but without the
+        cond primitive, which keeps the batch free of per-branch control
+        flow under ``shard_map``/``vmap`` nesting (the switch's invariant
+        branch-closure constants fail VMA unification against varying
+        operands there).  ``select_n`` — unlike the stack + one-hot
+        contraction it replaced — fuses into the producers on TPU; the
+        one-hot reduction halved tutorial-target sweep throughput."""
         if self._batched_logpost is not None:
             lp = jnp.asarray(self._batched_logpost(k, theta_pad), self.dtype)
             return jnp.where(jnp.isfinite(lp), lp,
                              jnp.asarray(NEG_INF, self.dtype))
         if self.nmodels == 1:
             return jax.vmap(self._branch(0))(theta_pad)
-        lps = jnp.stack(
-            [jax.vmap(self._branch(i))(theta_pad)
-             for i in range(self.nmodels)], axis=1)          # [S, K]
-        onehot = jax.nn.one_hot(k, self.nmodels, dtype=self.dtype)
-        return jnp.sum(lps * onehot, axis=1)
+        lps = [jax.vmap(self._branch(i))(theta_pad)
+               for i in range(self.nmodels)]
+        return jax.lax.select_n(k, *lps)
 
     def init_points(self, key) -> jnp.ndarray:
         """[K, dmax] padded stage-1 start points (uniform draws where a
