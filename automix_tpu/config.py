@@ -145,6 +145,19 @@ class EngineConfig:
     # — opt-in; see resolve_rng for why it is not the default), or "auto"
     # ("fast" for float32 Gaussian runs, "threefry" otherwise).
     rng: str = "auto"
+    # Fused Pallas sweep engine (kernels/fused.py): run whole stage-3
+    # chunks in one kernel with chain state resident in VMEM.  "auto" uses
+    # it on real TPU whenever the run is eligible (collect=False, no mesh,
+    # float32/Gaussian/rwm/per-chain-pk, all models provide logp_cols,
+    # small K*L*D unroll); "on" forces it (interpret mode off-TPU — for
+    # tests); "off" always uses the XLA chunk runner.
+    fused: str = "auto"
+    # Randomness source inside the fused kernel: "hw" = the TPU hardware
+    # PRNG (chunk-granular streams, fastest), "hash" = the triple32^
+    # lowbias32 counter hash (sweep-granular (seed, sweep, chain, slot)
+    # streams, bitwise identical compiled vs interpreted), "auto" = hw on
+    # TPU / hash under the interpreter.
+    fused_rng: str = "auto"
     dtype: Any = jnp.float32
 
     def __post_init__(self):
@@ -152,6 +165,10 @@ class EngineConfig:
             raise ValueError(f"unknown mix_fit {self.mix_fit!r}")
         if self.rng not in ("auto", "threefry", "fast", "pallas"):
             raise ValueError(f"unknown rng {self.rng!r}")
+        if self.fused not in ("auto", "on", "off"):
+            raise ValueError(f"unknown fused {self.fused!r}")
+        if self.fused_rng not in ("auto", "hw", "hash"):
+            raise ValueError(f"unknown fused_rng {self.fused_rng!r}")
         if self.within_move not in ("rwm", "hmc"):
             raise ValueError(f"unknown within_move {self.within_move!r}")
         if self.pk_mode not in ("per_chain", "pooled"):

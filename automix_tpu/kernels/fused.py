@@ -1,0 +1,631 @@
+"""Fused Pallas stage-3 sweep engine: whole sweep chunks in one kernel.
+
+Why this exists.  The XLA stage-3 hot loop (kernels/rjmcmc.py) lowers one
+sweep to ~a hundred small VPU ops over [S]-shaped arrays; every op round-
+trips its operands through HBM, so at 32768 chains the sweep is bound by
+*intermediate* HBM traffic, not by arithmetic — measured throughput is flat
+from 32k to 1M chains (~320M chain-sweeps/s on one v5e chip) while the
+useful state is only ~40 bytes/chain.  This kernel runs an entire
+``sweep_chunk`` of sweeps inside a single ``pallas_call``: chain state
+lives in VMEM (registers, effectively) for the whole chunk, HBM sees one
+read and one write of the state per *chunk* instead of hundreds per
+*sweep*, and the loop becomes pure VPU arithmetic.
+
+Layout (the part that matters on TPU): chains are **vector lanes**.  Every
+per-chain quantity is an ``(8, W)`` tile — 8 sublanes x W lanes, W a
+multiple of 128 — and every per-coordinate / per-model / per-component
+quantity is a small Python-unrolled tuple of such tiles.  The proposal
+tables (automix.c's ``proposalDist``) are scalars in SMEM; model/component
+selection is mask arithmetic (``k == m``), never a gather — the same
+gather-free design as the XLA path, with the one-hot contractions replaced
+by unrolled scalar*vector FMAs.
+
+The move itself is the reference's ``reversible_jump_move``
+(automix.c:1035-1288) exactly as the XLA path implements it: block /
+componentwise within-model RWM on a 1-in-10 schedule, mixture allocation,
+standardize via the inverse Cholesky factor, destination draw, latent
+dimension-matching (the padded coordinates *are* the extra latent draws),
+de-standardize, reverse allocation, one MH accept, and the pk diminishing
+adaptation with the re-init safeguard.  Model densities are the
+``Model.logp_cols`` column forms (everything elementwise over lanes, no
+``gammaln`` — ops/plmath.py).
+
+Randomness: two in-kernel sources, selected statically.
+
+* ``hw`` — the TPU core hardware PRNG (``pltpu.prng_random_bits``), seeded
+  per (engine seed, chunk-start sweep, global block index); the stream
+  advances sequentially over the chunk's sweeps.  Near-free, used on real
+  TPU.  Resumable at chunk granularity (a run chunked the same way
+  reproduces bitwise).
+* ``hash`` — the same triple32^lowbias32 counter hash as the XLA "fast"
+  mode (ops/randoms.py): every word is a pure function of (seed, global
+  sweep, global chain, slot).  Sweep-granular resumable and bitwise
+  identical between compiled TPU and interpret mode — the testing path,
+  and ~20% slower than ``hw`` on TPU.
+
+Eligibility is checked by :func:`fused_eligible`; the sampler falls back
+to the XLA chunk runner for anything the kernel does not cover (traces,
+meshes, Student-t, HMC, permutation mode, big K*L*D unrolls).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from automix_tpu.config import EngineConfig, LOG_ACCEPT_CLAMP, NEG_INF
+from automix_tpu.ops.plmath import HALF_LOG_2PI
+from automix_tpu.state import Chains, Proposal
+
+_LOG_2PI = 1.8378770664093453
+_U = jnp.uint32
+_TWO_PI = 6.283185307179586
+
+# Max lanes per grid block (chains per kernel instance): 8 sublanes x 512.
+_MAX_BLK = 4096
+# Unroll budget: the kernel emits O(K*L*D^2) vector ops per sweep; beyond
+# this the trace blows up and VMEM fills with live w-tiles.
+_MAX_KLD = 512
+_MAX_D = 6
+
+
+def _triple32(x):
+    x = x ^ (x >> 17)
+    x = x * _U(0xED5AD4BB)
+    x = x ^ (x >> 11)
+    x = x * _U(0xAC4C1B51)
+    x = x ^ (x >> 15)
+    x = x * _U(0x31848BAB)
+    return x ^ (x >> 14)
+
+
+def _lowbias32(x):
+    x = x ^ (x >> 16)
+    x = x * _U(0x7FEB352D)
+    x = x ^ (x >> 15)
+    x = x * _U(0x846CA68B)
+    return x ^ (x >> 16)
+
+
+def _u01(bits_u32):
+    """uint32 words -> float32 uniforms strictly inside (0, 1): top 24
+    bits + half-ulp (uint->float casts are unsupported in Mosaic, so the
+    logical-shifted top bits go through an int32 cast)."""
+    top24 = pltpu.bitcast(bits_u32 >> 8, jnp.int32)
+    return top24.astype(jnp.float32) * np.float32(2.0 ** -24) \
+        + np.float32(2.0 ** -25)
+
+
+def _gumbel(u):
+    return -jnp.log(-jnp.log1p(-u) + 1e-38)
+
+
+def _accept(delta):
+    return jnp.exp(jnp.clip(delta, LOG_ACCEPT_CLAMP, 0.0))
+
+
+def choose_block(n_chains: int) -> int:
+    """Largest power-of-two block <= _MAX_BLK dividing the chain count.
+    Minimum 1024 (= 8 sublanes x 128 lanes, one full float32 tile); the
+    eligibility check requires n_chains % 1024 == 0."""
+    blk = _MAX_BLK
+    while blk > 1024 and n_chains % blk != 0:
+        blk //= 2
+    return blk
+
+
+def fused_supported(modelset, cfg: EngineConfig) -> bool:
+    """Static feature check (independent of proposal size / call mode)."""
+    return (
+        all(m.logp_cols is not None for m in modelset.models)
+        and cfg.dtype == jnp.float32
+        and cfg.student_t_dof == 0
+        and cfg.within_move == "rwm"
+        and not cfg.perm
+        and cfg.pk_mode == "per_chain"
+        and modelset.dmax <= _MAX_D
+    )
+
+
+def fused_eligible(modelset, cfg: EngineConfig, collect: bool, mesh,
+                   lmax: int) -> bool:
+    """Full eligibility for a concrete runner: static support + no traces,
+    no mesh, and an unroll budget on the K*L*D loops."""
+    if cfg.fused == "off" or collect or mesh is not None:
+        return False
+    if not fused_supported(modelset, cfg):
+        return False
+    if cfg.n_chains % 1024 != 0:
+        return False
+    K, D = modelset.nmodels, modelset.dmax
+    if K * max(lmax, 1) * D > _MAX_KLD:
+        return False
+    if cfg.fused == "auto":
+        return jax.devices()[0].platform == "tpu"
+    return True  # "on": forced (interpret off-TPU)
+
+
+def build_fused_chunk_runner(modelset, cfg: EngineConfig, burning: bool):
+    """Build ``runner(chains, prop, n_sweeps) -> (chains', chunk_stats)``
+    with the same chunk-stats contract as the XLA runner
+    (rjmcmc._chunk_scan with ``collect=False``)."""
+    K, D = modelset.nmodels, modelset.dmax
+    dims = tuple(int(d) for d in modelset.dims)    # static per-model dims
+    adapt = cfg.adapt and not burning
+    branches = [m.logp_cols for m in modelset.models]
+    interpret = jax.devices()[0].platform != "tpu"
+    rng_mode = cfg.fused_rng
+    if rng_mode == "auto":
+        rng_mode = "hash" if interpret else "hw"
+    if interpret and rng_mode == "hw":
+        raise ValueError("fused_rng='hw' needs a real TPU (the Mosaic "
+                         "interpreter does not emulate the hardware PRNG)")
+    seed_static = int(cfg.seed)
+
+    def logpost_cols(mks, rows):
+        """Per-lane log-posterior at per-lane model index (mask select of
+        every branch — the lax.select_n of the XLA path, unrolled)."""
+        out = None
+        for m in range(K):
+            lp = branches[m](rows[:dims[m]])
+            lp = jnp.minimum(jnp.maximum(lp, NEG_INF), -NEG_INF)
+            lp = jnp.where(lp == lp, lp, NEG_INF)     # NaN -> reject
+            term = lp if K == 1 else mks[m] * lp
+            out = term if out is None else out + term
+        return out
+
+    def lse_list(ls):
+        m = ls[0]
+        for v in ls[1:]:
+            m = jnp.maximum(m, v)
+        s = jnp.exp(ls[0] - m)
+        for v in ls[1:]:
+            s = s + jnp.exp(v - m)
+        return m + jnp.log(s)
+
+    def gumbel_argmax(logits, gums, zeros_i32):
+        best = logits[0] + gums[0]
+        idx = zeros_i32
+        for i in range(1, len(logits)):
+            v = logits[i] + gums[i]
+            better = v > best
+            best = jnp.where(better, v, best)
+            idx = jnp.where(better, i, idx)
+        return idx
+
+    @functools.lru_cache(maxsize=None)
+    def _compiled(n_sweeps: int, L: int, S: int):
+        BLK = choose_block(S)
+        W = BLK // 8
+        G = S // BLK
+        G8 = G * 8
+        # Per-sweep random word slots (rjmcmc.rand_slots analogue).
+        s_urwm = 0                      # D words: componentwise/block accepts
+        s_uacc = D                      # 1 word: RJ accept
+        s_gall = D + 1                  # L words: forward allocation gumbels
+        s_gmod = s_gall + L             # K words: destination-model gumbels
+        s_gcmp = s_gmod + K             # L words: destination-component
+        s_bm = s_gcmp + L               # 2D words: Box-Muller uniform pairs
+        NW = s_bm + 2 * D
+
+        def kernel(scal_ref, k_ref, th_ref, lp_ref, pk_ref, pkl_ref,
+                   nri_ref, sig_ref, loglam_ref, abase_ref, logdet_ref,
+                   mu_ref, binv_ref, b_ref,
+                   k_o, th_o, lp_o, pk_o, pkl_o, nri_o,
+                   ks_o, ts_o, tq_o, cnt_o):
+            g = pl.program_id(0)
+            sweep0 = scal_ref[1]
+            if rng_mode == "hw":
+                pltpu.prng_seed(
+                    scal_ref[0] + (g + 1) * jnp.int32(-1640531527), sweep0)
+            else:
+                sub = jax.lax.broadcasted_iota(jnp.int32, (8, W), 0)
+                lane = jax.lax.broadcasted_iota(jnp.int32, (8, W), 1)
+                chain_id = (g * 8 + sub) * W + lane
+                cbase = chain_id.astype(_U) * _U(NW)
+
+            def draw_words(t):
+                """[NW, 8, W] uint32 random words for sweep t."""
+                if rng_mode == "hw":
+                    return pltpu.bitcast(
+                        pltpu.prng_random_bits((NW, 8, W)), _U)
+                seed_u = _U(seed_static & 0xFFFFFFFF)
+                sweep_u = t.astype(_U)
+                salt1 = _triple32(sweep_u ^ (seed_u * _U(0x9E3779B9)))
+                salt2 = _lowbias32(sweep_u + _U(0x85EBCA6B)
+                                   + seed_u * _U(0xC2B2AE35))
+                woff = jax.lax.broadcasted_iota(
+                    jnp.int32, (NW, 8, W), 0).astype(_U)
+                c = cbase[None, :, :] + woff
+                return _triple32(c ^ salt1) ^ _lowbias32(c + salt2)
+
+            # -- load state into VMEM-resident values ---------------------
+            kk0 = k_ref[:]
+            th0 = tuple(th_ref[d] for d in range(D))
+            lp0 = lp_ref[:]
+            pk0 = tuple(pk_ref[m] for m in range(K))
+            pkl0 = pkl_ref[:]
+            nri0 = nri_ref[:]
+            zi = jnp.zeros((8, W), jnp.int32)
+            zf = jnp.zeros((8, W), jnp.float32)
+            ks0 = (zi,) * K
+            ts0 = (zf,) * (K * D)
+            tq0 = (zf,) * (K * D)
+            cnt0 = (zi,) * 6
+
+            def body(t_rel, carry):
+                kk, logp, th, pk, pkl, nri, ks, ts, tq, cnt = carry
+                t = sweep0 + t_rel
+                words = draw_words(t)
+                u_rwm = [_u01(words[s_urwm + d]) for d in range(D)]
+                u_acc = _u01(words[s_uacc])
+                g_all = [_gumbel(_u01(words[s_gall + i])) for i in range(L)]
+                g_mod = [_gumbel(_u01(words[s_gmod + i])) for i in range(K)]
+                g_cmp = [_gumbel(_u01(words[s_gcmp + i])) for i in range(L)]
+                z_rwm, z_lat = [], []
+                for d in range(D):
+                    u1 = _u01(words[s_bm + d])
+                    u2 = _u01(words[s_bm + D + d])
+                    r = jnp.sqrt(-2.0 * jnp.log1p(-u1))
+                    ang = _TWO_PI * u2
+                    z_rwm.append(r * jnp.cos(ang))
+                    z_lat.append(r * jnp.sin(ang))
+
+                mks = [(kk == m).astype(jnp.float32) for m in range(K)]
+
+                def selk(tab_read):
+                    """Per-lane select of a per-model scalar table."""
+                    out = None
+                    for m in range(K):
+                        v = mks[m] * tab_read(m)
+                        out = v if out is None else out + v
+                    return out
+
+                # masked per-(lane, coord) RWM scale: models whose dim does
+                # not reach coordinate d contribute 0 (mask built into the
+                # sum over models).
+                sig_k = [sum(mks[m] * sig_ref[m, d]
+                             for m in range(K) if dims[m] > d)
+                         for d in range(D)]
+                active = [sum(mks[m] for m in range(K) if dims[m] > d)
+                          for d in range(D)]
+
+                # ---- (a) within-model move (automix.c:1054-1085) --------
+                def block_move(args):
+                    th, logp = args
+                    prop = tuple(th[d] + sig_k[d] * z_rwm[d]
+                                 for d in range(D))
+                    lpn = logpost_cols(mks, prop)
+                    acc = (u_rwm[0] < _accept(lpn - logp)).astype(
+                        jnp.float32)
+                    th = tuple(th[d] + acc * (prop[d] - th[d])
+                               for d in range(D))
+                    logp = logp + acc * (lpn - logp)
+                    return (th, logp, acc.astype(jnp.int32), zi + 1, zi, zi)
+
+                def comp_move(args):
+                    th, logp = args
+                    nacc = zi
+                    ntry = zi
+                    for j in range(D):
+                        prop = tuple(th[d] + (sig_k[d] * z_rwm[d]
+                                              if d == j else 0.0)
+                                     for d in range(D))
+                        lpn = logpost_cols(mks, prop)
+                        acc = ((u_rwm[j] < _accept(lpn - logp))
+                               & (active[j] > 0.0)).astype(jnp.float32)
+                        th = tuple(th[d] + acc * (prop[d] - th[d])
+                                   for d in range(D))
+                        logp = logp + acc * (lpn - logp)
+                        nacc = nacc + acc.astype(jnp.int32)
+                        ntry = ntry + active[j].astype(jnp.int32)
+                    return (th, logp, zi, zi, nacc, ntry)
+
+                do_block = (t % 10) == 0            # automix.c:95,148
+                th, logp, naccb, ntryb, naccs, ntrys = jax.lax.cond(
+                    do_block, block_move, comp_move, (th, logp))
+
+                # ---- (b) reversible jump (automix.c:1087-1256) ----------
+                # Forward allocation: standardized residuals w_{m,l} for
+                # every (model, component) — the chain's own model is
+                # mask-selected afterwards (automix.c:1093-1135).
+                w_ml = []
+                logits = [None] * L
+                for m in range(K):
+                    dm = dims[m]
+                    for li in range(L):
+                        ml = m * L + li
+                        w = []
+                        quad = None
+                        for i in range(dm):
+                            # lower-tri inverse-factor matvec:
+                            # w_i = sum_{j<=i} binv[i,j] (th_j - mu_j)
+                            acc_w = None
+                            for j in range(i + 1):
+                                term = binv_ref[ml, i * D + j] \
+                                    * (th[j] - mu_ref[ml, j])
+                                acc_w = term if acc_w is None \
+                                    else acc_w + term
+                            w.append(acc_w)
+                            quad = acc_w * acc_w if quad is None \
+                                else quad + acc_w * acc_w
+                        w_ml.append(w)
+                        if quad is None:
+                            quad = 0.0
+                        contrib = mks[m] * (abase_ref[m, li] - 0.5 * quad)
+                        logits[li] = contrib if logits[li] is None \
+                            else logits[li] + contrib
+
+                l_idx = gumbel_argmax(logits, g_all, zi)
+                mls = [(l_idx == li).astype(jnp.float32) for li in range(L)]
+                sel_logit = sum(mls[li] * logits[li] for li in range(L))
+                log_palloc = sel_logit - lse_list(logits)
+
+                # standardized latent of the selected component (padded
+                # coords come from z_lat below — the padding *is* the
+                # dimension matching, automix.c:1171-1204)
+                work = []
+                for d in range(D):
+                    acc_w = None
+                    for m in range(K):
+                        if dims[m] <= d:
+                            continue
+                        for li in range(L):
+                            v = (mks[m] * mls[li]) * w_ml[m * L + li][d]
+                            acc_w = v if acc_w is None else acc_w + v
+                    work.append(acc_w if acc_w is not None else zf)
+
+                # destination model kn ~ pk, component ln ~ lam[kn]
+                if K == 1:
+                    kn_idx = kk
+                    mkn = mks
+                    logratio = zf
+                else:
+                    logpk = [jnp.log(jnp.maximum(pk[m], 1e-38))
+                             for m in range(K)]
+                    kn_idx = gumbel_argmax(logpk, g_mod, zi)
+                    mkn = [(kn_idx == m).astype(jnp.float32)
+                           for m in range(K)]
+                    logratio = sum(mks[m] * logpk[m] for m in range(K)) \
+                        - sum(mkn[m] * logpk[m] for m in range(K))
+
+                loglam_kn = [sum(mkn[m] * loglam_ref[m, li]
+                                 for m in range(K)) for li in range(L)]
+                ln_idx = gumbel_argmax(loglam_kn, g_cmp, zi)
+                mln = [(ln_idx == li).astype(jnp.float32)
+                       for li in range(L)]
+
+                mask_k = active                     # [D] per-lane 0/1
+                mask_kn = [sum(mkn[m] for m in range(K) if dims[m] > d)
+                           for d in range(D)]
+
+                # latent dimension-matching + Jacobian terms
+                wf = []
+                for d in range(D):
+                    wf.append(mask_k[d] * work[d]
+                              + (1.0 - mask_k[d]) * z_lat[d])
+                for d in range(D):
+                    lpdf = -0.5 * wf[d] * wf[d] - HALF_LOG_2PI
+                    up = (1.0 - mask_k[d]) * mask_kn[d]
+                    down = mask_k[d] * (1.0 - mask_kn[d])
+                    logratio = logratio + (down - up) * lpdf
+
+                # de-standardize into the destination model
+                # (automix.c:1206-1211)
+                wfm = [wf[d] * mask_kn[d] for d in range(D)]
+                thn = [None] * D
+                for m in range(K):
+                    dm = dims[m]
+                    for li in range(L):
+                        ml = m * L + li
+                        sel = mkn[m] * mln[li]
+                        for d in range(dm):
+                            acc_t = mu_ref[ml, d]
+                            for e in range(d + 1):
+                                acc_t = acc_t + b_ref[ml, d * D + e] \
+                                    * wfm[e]
+                            v = sel * acc_t
+                            thn[d] = v if thn[d] is None else thn[d] + v
+                thn = [thn[d] if thn[d] is not None else zf
+                       for d in range(D)]
+                thn = [thn[d] * mask_kn[d] for d in range(D)]
+
+                # reverse allocation logits (automix.c:1213-1235)
+                logits_n = [None] * L
+                for m in range(K):
+                    dm = dims[m]
+                    for li in range(L):
+                        ml = m * L + li
+                        quad = None
+                        for i in range(dm):
+                            acc_w = None
+                            for j in range(i + 1):
+                                term = binv_ref[ml, i * D + j] \
+                                    * (thn[j] - mu_ref[ml, j])
+                                acc_w = term if acc_w is None \
+                                    else acc_w + term
+                            quad = acc_w * acc_w if quad is None \
+                                else quad + acc_w * acc_w
+                        if quad is None:
+                            quad = 0.0
+                        contrib = mkn[m] * (abase_ref[m, li] - 0.5 * quad)
+                        logits_n[li] = contrib if logits_n[li] is None \
+                            else logits_n[li] + contrib
+                log_pallocn = sum(mln[li] * logits_n[li]
+                                  for li in range(L)) - lse_list(logits_n)
+
+                # accept (automix.c:1237-1256)
+                lpn = logpost_cols(mkn, thn)
+                loglam_k_l = sum(mks[m] * mls[li] * loglam_ref[m, li]
+                                 for m in range(K) for li in range(L))
+                loglam_kn_ln = sum(mkn[m] * mln[li] * loglam_ref[m, li]
+                                   for m in range(K) for li in range(L))
+                logdet_kl = sum(mks[m] * mls[li] * logdet_ref[m, li]
+                                for m in range(K) for li in range(L))
+                logdet_kln = sum(mkn[m] * mln[li] * logdet_ref[m, li]
+                                 for m in range(K) for li in range(L))
+                logratio = (logratio + (lpn - logp)
+                            + (log_pallocn - log_palloc)
+                            + (loglam_k_l - loglam_kn_ln)
+                            + (logdet_kln - logdet_kl))
+                accf = (u_acc < _accept(logratio)).astype(jnp.float32)
+                acci = accf.astype(jnp.int32)
+                kk = kk + acci * (kn_idx - kk)
+                th = tuple(th[d] + accf * (thn[d] - th[d])
+                           for d in range(D))
+                logp = logp + accf * (lpn - logp)
+
+                # ---- (c) pk adaptation + re-init (automix.c:1258-1281) --
+                if adapt and K > 1:
+                    tf = t.astype(jnp.float32)
+                    gamma = jnp.exp((-2.0 / 3.0) * jnp.log(tf + 1.0))
+                    newpk = []
+                    for m in range(K):
+                        oh = (kk == m).astype(jnp.float32)
+                        newpk.append(pk[m] + gamma * (oh - pk[m]))
+                    reinit = newpk[0] < pkl
+                    for m in range(1, K):
+                        reinit = reinit | (newpk[m] < pkl)
+                    rf = reinit.astype(jnp.float32)
+                    nri = nri + reinit.astype(jnp.int32)
+                    pkl = jnp.where(reinit,
+                                    1.0 / (10.0 * nri.astype(jnp.float32)),
+                                    pkl)
+                    pk = tuple(newpk[m] + rf * (1.0 / K - newpk[m])
+                               for m in range(K))
+
+                # ---- chunk statistics (rjmcmc._chunk_scan body) ---------
+                mnew = [(kk == m) for m in range(K)]
+                ks = tuple(ks[m] + mnew[m].astype(jnp.int32)
+                           for m in range(K))
+                ts = tuple(ts[m * D + d]
+                           + mnew[m].astype(jnp.float32) * th[d]
+                           for m in range(K) for d in range(D))
+                tq = tuple(tq[m * D + d]
+                           + mnew[m].astype(jnp.float32) * th[d] * th[d]
+                           for m in range(K) for d in range(D))
+                cnt = (cnt[0] + naccb, cnt[1] + ntryb, cnt[2] + naccs,
+                       cnt[3] + ntrys, cnt[4] + acci, cnt[5] + 1)
+                return (kk, logp, th, pk, pkl, nri, ks, ts, tq, cnt)
+
+            kk, logp, th, pk, pkl, nri, ks, ts, tq, cnt = jax.lax.fori_loop(
+                0, n_sweeps, body,
+                (kk0, lp0, th0, pk0, pkl0, nri0, ks0, ts0, tq0, cnt0))
+
+            k_o[:] = kk
+            lp_o[:] = logp
+            pkl_o[:] = pkl
+            nri_o[:] = nri
+            for d in range(D):
+                th_o[d] = th[d]
+            for m in range(K):
+                pk_o[m] = pk[m]
+                ks_o[m] = ks[m]
+            for i in range(K * D):
+                ts_o[i] = ts[i]
+                tq_o[i] = tq[i]
+            for c in range(6):
+                cnt_o[c] = cnt[c]
+
+        # ---- pallas_call plumbing --------------------------------------
+        def vec_spec(rows):
+            return pl.BlockSpec((rows, 8, W), lambda i, *_: (0, i, 0),
+                                memory_space=pltpu.VMEM)
+
+        flat_spec = pl.BlockSpec((8, W), lambda i, *_: (i, 0),
+                                 memory_space=pltpu.VMEM)
+        smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(G,),
+            in_specs=[flat_spec, vec_spec(D), flat_spec, vec_spec(K),
+                      flat_spec, flat_spec,
+                      smem_spec, smem_spec, smem_spec, smem_spec,
+                      smem_spec, smem_spec, smem_spec],
+            out_specs=[flat_spec, vec_spec(D), flat_spec, vec_spec(K),
+                       flat_spec, flat_spec,
+                       vec_spec(K), vec_spec(K * D), vec_spec(K * D),
+                       vec_spec(6)],
+        )
+        f32 = jnp.float32
+        call = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((G8, W), jnp.int32),      # k
+                jax.ShapeDtypeStruct((D, G8, W), f32),         # theta
+                jax.ShapeDtypeStruct((G8, W), f32),            # logp
+                jax.ShapeDtypeStruct((K, G8, W), f32),         # pk
+                jax.ShapeDtypeStruct((G8, W), f32),            # pkllim
+                jax.ShapeDtypeStruct((G8, W), jnp.int32),      # nreinit
+                jax.ShapeDtypeStruct((K, G8, W), jnp.int32),   # ksummary
+                jax.ShapeDtypeStruct((K * D, G8, W), f32),     # theta_sum
+                jax.ShapeDtypeStruct((K * D, G8, W), f32),     # theta_sqsum
+                jax.ShapeDtypeStruct((6, G8, W), jnp.int32),   # counters
+            ],
+            interpret=interpret,
+        )
+
+        dims_f = jnp.asarray(modelset.dims, f32)
+
+        @jax.jit
+        def run(chains: Chains, prop: Proposal):
+            B = jnp.tril(prop.B.astype(f32))
+            eye = jnp.broadcast_to(jnp.eye(D, dtype=f32), B.shape)
+            binv = jax.lax.linalg.triangular_solve(
+                B, eye, left_side=True, lower=True)
+            lam = prop.lam.astype(f32)
+            loglam = jnp.where(lam > 0, jnp.log(jnp.maximum(lam, 1e-38)),
+                               jnp.asarray(NEG_INF, f32))
+            logdet = prop.logdetB.astype(f32)
+            abase = loglam - logdet - 0.5 * dims_f[:, None] * _LOG_2PI
+            scal = jnp.stack([jnp.int32(seed_static),
+                              chains.sweep.astype(jnp.int32)])
+            outs = call(
+                scal,
+                chains.k.reshape(G8, W),
+                chains.theta.T.reshape(D, G8, W),
+                chains.logp.reshape(G8, W),
+                chains.pk.T.reshape(K, G8, W),
+                chains.pkllim.reshape(G8, W),
+                chains.nreinit.reshape(G8, W),
+                prop.sig.astype(f32), loglam, abase, logdet,
+                prop.mu.astype(f32).reshape(K * L, D),
+                binv.reshape(K * L, D * D),
+                B.reshape(K * L, D * D),
+            )
+            (k2, th2, lp2, pk2, pkl2, nri2, ks2, ts2, tq2, cnt2) = outs
+            chains_out = chains.replace(
+                k=k2.reshape(S),
+                theta=th2.reshape(D, S).T,
+                logp=lp2.reshape(S),
+                pk=pk2.reshape(K, S).T,
+                pkllim=pkl2.reshape(S),
+                nreinit=nri2.reshape(S),
+                sweep=chains.sweep + n_sweeps,
+            )
+            cnt_tot = cnt2.sum(axis=(1, 2))
+            chunk = {
+                "ksummary": ks2.sum(axis=(1, 2)),
+                "theta_sum": ts2.sum(axis=(1, 2)).reshape(K, D),
+                "theta_sqsum": tq2.sum(axis=(1, 2)).reshape(K, D),
+                "naccrwmb": cnt_tot[0], "ntryrwmb": cnt_tot[1],
+                "naccrwms": cnt_tot[2], "ntryrwms": cnt_tot[3],
+                "nacctd": cnt_tot[4], "ntrytd": cnt_tot[5],
+            }
+            return chains_out, chunk
+
+        return run
+
+    def runner(chains: Chains, prop: Proposal, n_sweeps: int):
+        L = int(prop.lam.shape[1])
+        S = int(chains.k.shape[0])
+        return _compiled(n_sweeps, L, S)(chains, prop)
+
+    return runner

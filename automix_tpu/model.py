@@ -46,6 +46,16 @@ class Model:
     ``loglik`` optionally reports a likelihood component separately (the
     v1 contract's ``llh`` out-parameter, user.h:19); used only for the
     ``_lp.data``-style trace.
+
+    ``logp_cols`` is an optional *column form* of ``logp`` used by the
+    fused Pallas sweep kernel (kernels/fused.py), where chains live in
+    vector lanes: it receives a sequence of per-coordinate arrays
+    ``rows`` (``rows[i]`` holds coordinate i of every chain in the lane
+    block, any broadcastable shape) and must return the log-posterior
+    array elementwise — using only Mosaic-lowerable ops (no ``gammaln``;
+    use ``ops.plmath.pal_gammaln``) and a finite ``config.NEG_INF``
+    sentinel off-support.  Equivalence with ``logp`` is property-tested
+    (tests/test_fused.py).
     """
 
     name: str
@@ -53,6 +63,7 @@ class Model:
     logp: Callable
     init: Optional[np.ndarray] = None
     loglik: Optional[Callable] = None
+    logp_cols: Optional[Callable] = None
 
 
 class ModelSet:

@@ -15,6 +15,7 @@ from jax.scipy.special import gammaln
 
 from automix_tpu.config import NEG_INF
 from automix_tpu.model import Model, ModelSet
+from automix_tpu.ops.plmath import pal_gammaln
 
 # Ten fixed observations shared by the parameter-estimation targets
 # (tests/test_automix.c:38-40).
@@ -47,6 +48,32 @@ def logp_beta_sampler(theta):
     xs = jnp.where(inside, x, 0.5)   # keep log() finite off-support
     lp = ((a - 1.0) * jnp.log(xs) + (b - 1.0) * jnp.log1p(-xs)
           + gammaln(a + b) - gammaln(a) - gammaln(b))
+    return jnp.where(inside, lp, NEG_INF)
+
+
+# Column forms of the 1-D samplers for the fused Pallas sweep kernel
+# (see Model.logp_cols).  ``rows[i]`` carries coordinate i of a whole
+# lane block; everything is elementwise.
+
+def cols_normal_sampler(rows):
+    x = rows[0]
+    return -0.5 * (x - 0.5) ** 2
+
+
+def cols_truncnormal_sampler(rows):
+    x = rows[0]
+    lp = -0.5 * (x - 1.0) ** 2
+    return jnp.where((x > 0.0) & (x < 10.0), lp, NEG_INF)
+
+
+_LOG_BETA_2_2 = 1.791759469228055  # gammaln(4) - 2*gammaln(2) = log 6
+
+
+def cols_beta_sampler(rows):
+    x = rows[0]
+    inside = (x > 0.0) & (x < 1.0)
+    xs = jnp.where(inside, x, 0.5)
+    lp = jnp.log(xs) + jnp.log1p(-xs) + _LOG_BETA_2_2
     return jnp.where(inside, lp, NEG_INF)
 
 
@@ -97,8 +124,58 @@ def _make_params_targets(data):
     return logp_normal_params, logp_beta_params, logp_gamma_params
 
 
+def _make_params_targets_cols(data):
+    """Column forms of the three parameter-estimation targets for the
+    fused Pallas sweep kernel (Model.logp_cols).
+
+    The per-observation reductions of the scalar forms collapse to fixed
+    sufficient statistics (sum, sum of squares, sum of logs, sum of
+    log1p-complements), so each evaluation is a handful of elementwise ops
+    per lane — and ``gammaln`` becomes the Mosaic-lowerable
+    ``pal_gammaln``.  Algebraically identical to ``_make_params_targets``;
+    floating-point equivalence is property-tested in tests/test_fused.py.
+    """
+    d = np.asarray(data, np.float64)
+    n = float(d.shape[0])
+    s1 = float(d.sum())
+    s2 = float((d * d).sum())
+    sl = float(np.log(d).sum())
+    sl1 = float(np.log1p(-d).sum())
+
+    def cols_normal(rows):
+        sigma, x0 = rows[0], rows[1]
+        ok = sigma > 0.0
+        ssafe = jnp.where(ok, sigma, 1.0)
+        ss = -(s2 - 2.0 * x0 * s1 + n * x0 * x0)
+        lp = -n * jnp.log(ssafe) + ss / (2.0 * ssafe * ssafe)
+        return jnp.where(ok, lp, NEG_INF)
+
+    def cols_beta(rows):
+        a, b = rows[0], rows[1]
+        ok = (a > 0.0) & (b > 0.0)
+        asafe = jnp.where(ok, a, 1.0)
+        bsafe = jnp.where(ok, b, 1.0)
+        lp = (asafe - 1.0) * sl + (bsafe - 1.0) * sl1 + n * (
+            pal_gammaln(asafe + bsafe) - pal_gammaln(asafe)
+            - pal_gammaln(bsafe))
+        return jnp.where(ok, lp, NEG_INF)
+
+    def cols_gamma(rows):
+        a, b = rows[0], rows[1]
+        ok = (a > 0.0) & (b > 0.0)
+        asafe = jnp.where(ok, a, 1.0)
+        bsafe = jnp.where(ok, b, 1.0)
+        lp = (asafe - 1.0) * sl - bsafe * s1 + n * (
+            asafe * jnp.log(bsafe) - pal_gammaln(asafe))
+        return jnp.where(ok, lp, NEG_INF)
+
+    return cols_normal, cols_beta, cols_gamma
+
+
 logp_normal_params, logp_beta_params, logp_gamma_params = \
     _make_params_targets(DATA_SAMPLES)
+cols_normal_params, cols_beta_params, cols_gamma_params = \
+    _make_params_targets_cols(DATA_SAMPLES)
 
 
 # --- assembled ModelSets (the nine test scenarios) ----------------------
@@ -106,59 +183,71 @@ logp_normal_params, logp_beta_params, logp_gamma_params = \
 def normal_sampler_set(**kw):
     """Scenario 1 (tests/test_automix.c:49-54): mean 0.5, sigma 1.0."""
     return ModelSet([Model("normal_sampler", 1, logp_normal_sampler,
-                           init=np.array([0.5]))], **kw)
+                           init=np.array([0.5]),
+                           logp_cols=cols_normal_sampler)], **kw)
 
 
 def truncnormal_sampler_set(**kw):
     """Scenario 2 (tests/test_automix.c:56-61): mean~1.3, sigma~1.5 claimed;
     support within (0, 10)."""
     return ModelSet([Model("truncnormal_sampler", 1, logp_truncnormal_sampler,
-                           init=np.array([1.0]))], **kw)
+                           init=np.array([1.0]),
+                           logp_cols=cols_truncnormal_sampler)], **kw)
 
 
 def beta_sampler_set(**kw):
     """Scenario 3 (tests/test_automix.c:63-68): mean 0.5."""
     return ModelSet([Model("beta_sampler", 1, logp_beta_sampler,
-                           init=np.array([0.5]))], **kw)
+                           init=np.array([0.5]),
+                           logp_cols=cols_beta_sampler)], **kw)
 
 
 def normal_params_set(**kw):
     """Scenario 4 (tests/test_automix.c:70-76): E[sigma]~0.2, E[x0]~0.5."""
     return ModelSet([Model("normal_params", 2, logp_normal_params,
-                           init=np.array([0.5, 0.5]))], **kw)
+                           init=np.array([0.5, 0.5]),
+                           logp_cols=cols_normal_params)], **kw)
 
 
 def beta_params_set(**kw):
     """Scenario 5 (tests/test_automix.c:78-84): E[alpha]~4.5, E[beta]~5.0."""
     return ModelSet([Model("beta_params", 2, logp_beta_params,
-                           init=np.array([2.0, 2.0]))], **kw)
+                           init=np.array([2.0, 2.0]),
+                           logp_cols=cols_beta_params)], **kw)
 
 
 def gamma_params_set(**kw):
     """Scenario 6 (tests/test_automix.c:86-92): E[alpha]~7.0, E[beta]~14.5."""
     return ModelSet([Model("gamma_params", 2, logp_gamma_params,
-                           init=np.array([9.0, 2.0]))], **kw)
+                           init=np.array([9.0, 2.0]),
+                           logp_cols=cols_gamma_params)], **kw)
 
 
 def gamma_beta_set(**kw):
     """Scenario 7 (tests/test_automix.c:94-103): p(M=Gamma)~0.37."""
     return ModelSet([
-        Model("gamma", 2, logp_gamma_params, init=np.array([9.0, 2.0])),
-        Model("beta", 2, logp_beta_params, init=np.array([2.0, 2.0])),
+        Model("gamma", 2, logp_gamma_params, init=np.array([9.0, 2.0]),
+              logp_cols=cols_gamma_params),
+        Model("beta", 2, logp_beta_params, init=np.array([2.0, 2.0]),
+              logp_cols=cols_beta_params),
     ], **kw)
 
 
 def normal_beta_set(**kw):
     """Scenario 8 (tests/test_automix.c:105-114): p(M=Normal)~0.95."""
     return ModelSet([
-        Model("normal", 2, logp_normal_params, init=np.array([0.5, 0.5])),
-        Model("beta", 2, logp_beta_params, init=np.array([2.0, 2.0])),
+        Model("normal", 2, logp_normal_params, init=np.array([0.5, 0.5]),
+              logp_cols=cols_normal_params),
+        Model("beta", 2, logp_beta_params, init=np.array([2.0, 2.0]),
+              logp_cols=cols_beta_params),
     ], **kw)
 
 
 def normal_gamma_set(**kw):
     """Scenario 9 (tests/test_automix.c:116-125): p(M=Normal)~0.97."""
     return ModelSet([
-        Model("normal", 2, logp_normal_params, init=np.array([0.5, 0.5])),
-        Model("gamma", 2, logp_gamma_params, init=np.array([9.0, 2.0])),
+        Model("normal", 2, logp_normal_params, init=np.array([0.5, 0.5]),
+              logp_cols=cols_normal_params),
+        Model("gamma", 2, logp_gamma_params, init=np.array([9.0, 2.0]),
+              logp_cols=cols_gamma_params),
     ], **kw)

@@ -38,6 +38,37 @@ def _mixture_logpdf(theta, weights, mus, Bs):
     return logsumexp(comp)
 
 
+def _mixture_cols(weights, mus, Bs, log_prior):
+    """Column form of ``_mixture_logpdf`` for the fused Pallas kernel
+    (Model.logp_cols): unrolled forward substitution against each
+    component's lower-triangular factor, logsumexp over components via
+    chained ``logaddexp`` — all elementwise ops over the lane block."""
+    w = np.asarray(weights, np.float64)
+    mu = np.asarray(mus, np.float64)          # [L, d]
+    B = np.asarray(Bs, np.float64)            # [L, d, d]
+    L, d = mu.shape
+    logdet = np.log(np.abs(np.diagonal(B, axis1=-2, axis2=-1))).sum(-1)
+    const = np.log(w) - 0.5 * d * _LOG_2PI - logdet + log_prior
+
+    def cols(rows):
+        out = None
+        for li in range(L):
+            quad = 0.0
+            work = []
+            for i in range(d):
+                resid = rows[i] - mu[li, i]
+                for j in range(i):
+                    resid = resid - B[li, i, j] * work[j]
+                wi = resid * (1.0 / B[li, i, i])
+                work.append(wi)
+                quad = quad + wi * wi
+            comp = const[li] - 0.5 * quad
+            out = comp if out is None else jnp.logaddexp(out, comp)
+        return out
+
+    return cols
+
+
 def toy1_set(**kw) -> ModelSet:
     """usertoy1: model 0 is a 1-D 2-component mixture (prior 0.3), model 1
     a 2-D 3-component mixture with correlations (prior 0.7)
@@ -66,8 +97,13 @@ def toy1_set(**kw) -> ModelSet:
         ) + jnp.log(0.7)
 
     return ModelSet([
-        Model("toy1_k1", 1, logp_m0),
-        Model("toy1_k2", 2, logp_m1),
+        Model("toy1_k1", 1, logp_m0,
+              logp_cols=_mixture_cols([0.2, 0.8], [[-3.0], [2.0]],
+                                      [[[2.0]], [[1.0]]], np.log(0.3))),
+        Model("toy1_k2", 2, logp_m1,
+              logp_cols=_mixture_cols(
+                  [1 / 3, 1 / 3, 1 / 3],
+                  [[0.0, 3.0], [-4.0, 1.0], [4.0, 1.0]], B1, np.log(0.7))),
     ], **kw)
 
 
@@ -92,8 +128,20 @@ def toy2_set(**kw) -> ModelSet:
                 - 0.5 * d * _LOG_2PI - d * jnp.log(2.0) + jnp.log(0.7)
             return jnp.logaddexp(c1, c2) + jnp.log(w_model)
 
+        def logp_cols(rows, d=d, w_model=weights[k]):
+            q1 = 0.0
+            q2 = 0.0
+            for i in range(d):
+                q1 = q1 + (rows[i] - 5.0) ** 2
+                q2 = q2 + (rows[i] + 5.0) ** 2
+            c1 = -0.5 * q1 - 0.5 * d * _LOG_2PI + float(np.log(0.3))
+            c2 = -0.125 * q2 - 0.5 * d * _LOG_2PI \
+                - d * float(np.log(2.0)) + float(np.log(0.7))
+            return jnp.logaddexp(c1, c2) + float(np.log(w_model))
+
         models.append(Model(f"toy2_k{k + 1}", d, logp,
-                            init=np.zeros(d)))       # usertoy2.c:25-29
+                            init=np.zeros(d),        # usertoy2.c:25-29
+                            logp_cols=logp_cols))
     return ModelSet(models, **kw)
 
 

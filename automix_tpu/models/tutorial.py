@@ -11,22 +11,28 @@ from __future__ import annotations
 import numpy as np
 
 from automix_tpu.model import Model, ModelSet
-from automix_tpu.models.builtin import _make_params_targets
+from automix_tpu.models.builtin import (_make_params_targets,
+                                        _make_params_targets_cols)
 
 # tutorial.c:10-11
 TUTORIAL_DATA = np.array([0.2, 0.13, 0.35, 0.17, 0.89,
                           0.33, 0.78, 0.23, 0.54, 0.16])
 
 _logp_normal, _logp_beta, _logp_gamma = _make_params_targets(TUTORIAL_DATA)
+_cols_normal, _cols_beta, _cols_gamma = _make_params_targets_cols(
+    TUTORIAL_DATA)
 
 
 def tutorial_set(**kw) -> ModelSet:
     """ModelSet for the tutorial run (tutorial.c:16-28): inits per
     tutorial.c:19."""
     return ModelSet([
-        Model("normal", 2, _logp_normal, init=np.array([0.5, 0.5])),
-        Model("beta", 2, _logp_beta, init=np.array([2.0, 2.0])),
-        Model("gamma", 2, _logp_gamma, init=np.array([9.0, 2.0])),
+        Model("normal", 2, _logp_normal, init=np.array([0.5, 0.5]),
+              logp_cols=_cols_normal),
+        Model("beta", 2, _logp_beta, init=np.array([2.0, 2.0]),
+              logp_cols=_cols_beta),
+        Model("gamma", 2, _logp_gamma, init=np.array([9.0, 2.0]),
+              logp_cols=_cols_gamma),
     ], **kw)
 
 

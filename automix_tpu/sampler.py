@@ -65,11 +65,20 @@ class AMSampler:
         return sub
 
     def _runner(self, burning: bool, collect: bool):
-        kk = (burning, collect)
+        from automix_tpu.kernels import fused
+        lmax = (int(self.proposal.lam.shape[1])
+                if self.proposal is not None else 0)
+        use_fused = fused.fused_eligible(
+            self.modelset, self.cfg, collect, self.mesh, lmax)
+        kk = (burning, collect, "fused" if use_fused else "xla")
         if kk not in self._runners:
-            self._runners[kk] = rjmcmc.build_chunk_runner(
-                self.modelset, self.cfg, burning=burning, collect=collect,
-                mesh=self.mesh)
+            if use_fused:
+                self._runners[kk] = fused.build_fused_chunk_runner(
+                    self.modelset, self.cfg, burning=burning)
+            else:
+                self._runners[kk] = rjmcmc.build_chunk_runner(
+                    self.modelset, self.cfg, burning=burning,
+                    collect=collect, mesh=self.mesh)
         return self._runners[kk]
 
     def _ensure_proposal(self):

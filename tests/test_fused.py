@@ -1,0 +1,156 @@
+"""Tests for the fused Pallas sweep engine (kernels/fused.py).
+
+Run on CPU in Mosaic interpret mode (cfg.fused="on" forces the kernel off
+TPU) with the counter-hash RNG, which is bitwise identical between
+interpret and compiled TPU execution — so what these tests pin down holds
+for the production path up to Mosaic's instruction scheduling.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.scipy.special import gammaln
+
+from automix_tpu.config import EngineConfig
+from automix_tpu.kernels import fused
+from automix_tpu.models import builtin, toy
+from automix_tpu.models.tutorial import tutorial_set
+from automix_tpu.ops.plmath import pal_gammaln
+from automix_tpu.sampler import AMSampler
+
+ALL_COL_SETS = [
+    ("tutorial", tutorial_set),
+    ("toy1", toy.toy1_set),
+    ("toy2", toy.toy2_set),
+    ("gamma_beta", builtin.gamma_beta_set),
+    ("normal_beta", builtin.normal_beta_set),
+    ("normal_gamma", builtin.normal_gamma_set),
+    ("normal_sampler", builtin.normal_sampler_set),
+    ("truncnormal_sampler", builtin.truncnormal_sampler_set),
+    ("beta_sampler", builtin.beta_sampler_set),
+    ("normal_params", builtin.normal_params_set),
+    ("beta_params", builtin.beta_params_set),
+    ("gamma_params", builtin.gamma_params_set),
+]
+
+
+def test_pal_gammaln_accuracy():
+    """Shifted-Stirling log-gamma vs jax.scipy gammaln over the argument
+    range the targets produce."""
+    x = jnp.concatenate([jnp.linspace(0.01, 2.0, 500),
+                         jnp.linspace(2.0, 200.0, 500)])
+    ref = gammaln(x)
+    got = pal_gammaln(x)
+    rel = jnp.abs(got - ref) / jnp.maximum(jnp.abs(ref), 1.0)
+    assert float(rel.max()) < 5e-6
+
+
+@pytest.mark.parametrize("name,make", ALL_COL_SETS)
+def test_logp_cols_equivalence(name, make):
+    """Column forms match the scalar densities on random points, including
+    off-support (both must agree on the finite NEG_INF sentinel)."""
+    ms = make()
+    key = jax.random.PRNGKey(42)
+    for mi, m in enumerate(ms.models):
+        assert m.logp_cols is not None
+        th = jax.random.uniform(jax.random.fold_in(key, mi),
+                                (512, m.dim), minval=-3.0, maxval=10.0)
+        ref = np.asarray(jax.vmap(m.logp)(th), np.float64)
+        ref = np.where(np.isfinite(ref), ref, -1e30)
+        got = np.asarray(m.logp_cols(tuple(th[:, i] for i in range(m.dim))),
+                         np.float64)
+        scale = np.maximum(np.abs(ref), 1.0)
+        # float32 + pal_gammaln noise; an MH ratio perturbation of this
+        # size is far below the MC error of any run
+        assert np.max(np.abs(ref - got) / scale) < 5e-4, (name, m.name)
+
+
+def _mk_sampler(make_set, **over):
+    base = dict(n_chains=1024, n_chains_stage1=128, stage1_sweeps=200,
+                sweep_chunk=50, seed=3, trace_chain0=False, fused="on")
+    base.update(over)
+    return AMSampler(make_set(), EngineConfig(**base))
+
+
+def test_fused_smoke_and_stat_contract():
+    am = _mk_sampler(tutorial_set)
+    am.estimate_conditional_probs()
+    am.burn_samples(60)
+    stats = am.rjmcmc_samples(200, collect=False)
+    assert stats.ksummary.sum() == 1024 * 200
+    assert stats.ntrytd == 1024 * 200
+    # 1-in-10 block schedule: ntryrwmb + ntryrwms-coordinate tries
+    assert stats.ntryrwmb > 0 and stats.ntryrwms > 0
+    assert 0 < stats.nacctd <= stats.ntrytd
+    # visit fractions should be in the right ballpark already
+    probs = stats.model_probs
+    assert probs[0] > 0.5 and probs[1] < 0.3
+
+
+def test_fused_deterministic_and_chunk_invariant():
+    """Counter-hash streams are (seed, sweep, chain, slot)-indexed, so a
+    run is bitwise reproducible AND invariant to how sweeps are chunked."""
+    res = []
+    for chunk in (40, 80):
+        am = _mk_sampler(tutorial_set, sweep_chunk=chunk, fused_rng="hash")
+        am.estimate_conditional_probs()
+        am.burn_samples(40)
+        stats = am.rjmcmc_samples(160, collect=False)
+        res.append((np.asarray(am.chains.theta), np.asarray(am.chains.k),
+                    stats.ksummary.copy()))
+    np.testing.assert_array_equal(res[0][1], res[1][1])
+    np.testing.assert_array_equal(res[0][0], res[1][0])
+    np.testing.assert_array_equal(res[0][2], res[1][2])
+
+
+def test_fused_matches_xla_statistically():
+    """Fused and XLA runners sample the same posterior: toy1's exact model
+    posteriors (0.3 / 0.7) from both paths."""
+    out = {}
+    for mode in ("on", "off"):
+        am = _mk_sampler(toy.toy1_set, fused=mode, seed=11)
+        am.estimate_conditional_probs()
+        am.burn_samples(100)
+        stats = am.rjmcmc_samples(400, collect=False)
+        out[mode] = stats.model_probs
+    for mode, probs in out.items():
+        assert abs(probs[0] - toy.TOY1_MODEL_PROBS[0]) < 0.08, (mode, probs)
+    assert abs(out["on"][0] - out["off"][0]) < 0.08
+
+
+def test_fused_eligibility_gates():
+    ms = tutorial_set()
+    cfg = EngineConfig(n_chains=1024, fused="on")
+    assert fused.fused_eligible(ms, cfg, collect=False, mesh=None, lmax=5)
+    # traces force the XLA path
+    assert not fused.fused_eligible(ms, cfg, collect=True, mesh=None, lmax=5)
+    # off switch
+    cfg_off = EngineConfig(n_chains=1024, fused="off")
+    assert not fused.fused_eligible(ms, cfg_off, False, None, 5)
+    # chain count must tile into 8x128 lanes
+    cfg_odd = EngineConfig(n_chains=1000, fused="on")
+    assert not fused.fused_eligible(ms, cfg_odd, False, None, 5)
+    # student-t and hmc are unsupported
+    cfg_t = EngineConfig(n_chains=1024, fused="on", student_t_dof=3,
+                         rng="threefry")
+    assert not fused.fused_supported(ms, cfg_t)
+    cfg_h = EngineConfig(n_chains=1024, fused="on", within_move="hmc")
+    assert not fused.fused_supported(ms, cfg_h)
+    # models without column forms are unsupported
+    from automix_tpu.model import Model, ModelSet
+    ms_nc = ModelSet([Model("m", 1, lambda th: -0.5 * th[0] ** 2)])
+    assert not fused.fused_supported(ms_nc, cfg)
+
+
+def test_fused_single_model():
+    """K == 1 degenerate RJ (kn = k, logratio starts at 0) still mixes the
+    within-model chain correctly: Beta(2,2) moments."""
+    am = _mk_sampler(builtin.beta_sampler_set, seed=5)
+    am.estimate_conditional_probs()
+    am.burn_samples(100)
+    stats = am.rjmcmc_samples(300, collect=False)
+    mean = stats.theta_mean()[0, 0]
+    std = stats.theta_std()[0, 0]
+    assert abs(mean - 0.5) < 0.05
+    assert abs(std - float(np.sqrt(0.05))) < 0.05
