@@ -121,8 +121,10 @@ def choose_block(n_chains: int) -> int:
 
 def fused_supported(modelset, cfg: EngineConfig) -> bool:
     """Static feature check (independent of proposal size / call mode)."""
+    has_cols = (getattr(modelset, "batched_logpost_cols", None) is not None
+                or all(m.logp_cols is not None for m in modelset.models))
     return (
-        all(m.logp_cols is not None for m in modelset.models)
+        has_cols
         and cfg.dtype == jnp.float32
         and cfg.student_t_dof == 0
         and cfg.within_move == "rwm"
@@ -167,9 +169,17 @@ def build_fused_chunk_runner(modelset, cfg: EngineConfig, burning: bool):
                          "interpreter does not emulate the hardware PRNG)")
     seed_static = int(cfg.seed)
 
+    batched_cols = getattr(modelset, "batched_logpost_cols", None)
+
     def logpost_cols(mks, rows):
-        """Per-lane log-posterior at per-lane model index (mask select of
-        every branch — the lax.select_n of the XLA path, unrolled)."""
+        """Per-lane log-posterior at per-lane model index.  With a family
+        kernel (``ModelSet.batched_logpost_cols``) one evaluation covers
+        all lanes; otherwise every branch is evaluated and mask-selected
+        (the lax.select_n of the XLA path, unrolled)."""
+        if batched_cols is not None:
+            lp = batched_cols(mks, rows)
+            lp = jnp.minimum(jnp.maximum(lp, NEG_INF), -NEG_INF)
+            return jnp.where(lp == lp, lp, NEG_INF)
         out = None
         for m in range(K):
             lp = branches[m](rows[:dims[m]])

@@ -81,7 +81,7 @@ class ModelSet:
     """
 
     def __init__(self, models: Sequence[Model], dtype=jnp.float32,
-                 batched_logpost=None):
+                 batched_logpost=None, batched_logpost_cols=None):
         if not models:
             raise ValueError("need at least one model")
         self.models = tuple(models)
@@ -91,6 +91,13 @@ class ModelSet:
         self.dmax = int(self.dims.max())
         self.dims_device = jnp.asarray(self.dims)
         self._batched_logpost = batched_logpost
+        # Column form of ``batched_logpost`` for the fused Pallas engine:
+        # ``(mks, rows) -> lp`` where ``mks`` is the list of K per-lane
+        # 0/1 model masks and ``rows`` the dmax per-coordinate lane tiles.
+        # Lets a model *family* sharing one formula (e.g. the ten rb9
+        # variants) cost a single density evaluation in the fused sweep
+        # instead of K mask-selected branches.
+        self.batched_logpost_cols = batched_logpost_cols
 
     # -- construction helpers -------------------------------------------
 

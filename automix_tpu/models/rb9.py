@@ -146,9 +146,131 @@ def _build_batched_logpost(dtype=jnp.float32):
     return batched
 
 
+def _build_batched_cols():
+    """Column form of the family kernel for the fused Pallas engine
+    (ModelSet.batched_logpost_cols): one density evaluation per sweep for
+    all ten models, with chains as vector lanes.
+
+    Two reductions make this cheap inside a kernel that cannot call
+    ``gammaln`` on 66 observations per lane:
+
+    * per-group sufficient statistics — the Poisson term and every
+      kappa-independent part of the NB term collapse to (n_g, sum x,
+      sum lgamma(x+1)) computed once at build time;
+    * distinct-value compression of the remaining kappa-dependent term:
+      sum_i lgamma(x_i + 1/kappa) = sum_v c_v lgamma(v + 1/kappa) over
+      the ~13 distinct counts per group, evaluated with the
+      Mosaic-lowerable ``pal_gammaln``.
+
+    Model structure (index maps, priors, NB-vs-Poisson flags,
+    userrb9.c:90-141) enters as per-lane mask sums over the static
+    tables, never as gathers.
+    """
+    from automix_tpu.ops.plmath import pal_gammaln
+
+    K, G, D = 10, 4, 5
+    dims_np = [N_LAMBDA[k] + N_KAPPA[k] for k in range(K)]
+    # static per-group stats
+    n_g, sx_g, clg_g, vals_g, cnts_g = [], [], [], [], []
+    for g in range(G):
+        xg = X_DATA[GROUPS == g]
+        n_g.append(float(len(xg)))
+        sx_g.append(float(xg.sum()))
+        clg_g.append(float(np_gammaln(xg + 1.0).sum()))
+        v, c = np.unique(xg, return_counts=True)
+        vals_g.append([float(x) for x in v])
+        cnts_g.append([float(x) for x in c])
+    # static selection tables
+    lam_sets = [[set() for _ in range(D)] for _ in range(G)]
+    kap_sets = [[set() for _ in range(D)] for _ in range(G)]
+    nb_sets = [set() for _ in range(G)]
+    a_tab = np.zeros((K, D)); b_tab = np.zeros((K, D))
+    const_tab = np.zeros(K)
+    for k in range(K):
+        ql, qk = N_LAMBDA[k], N_KAPPA[k]
+        for g, idx in enumerate(_lambda_map(k)):
+            lam_sets[g][idx].add(k)
+        for g, idx in enumerate(_kappa_map(k)):
+            kap_sets[g][idx].add(k)
+        for g, p in enumerate(_pindic(k)):
+            if p:
+                nb_sets[g].add(k)
+        a_tab[k, :ql] = ALPHA1
+        a_tab[k, ql:ql + qk] = ALPHA2
+        b_tab[k, :ql] = BETA1
+        b_tab[k, ql:ql + qk] = BETA2
+        const_tab[k] = (ql * (ALPHA1 * np.log(BETA1) - np_gammaln(ALPHA1))
+                        + qk * (ALPHA2 * np.log(BETA2) - np_gammaln(ALPHA2)))
+
+    def batched_cols(mks, rows):
+        def msum(kset):
+            return sum((mks[k] for k in sorted(kset)), 0.0)
+
+        in_dim = [msum({k for k in range(K) if dims_np[k] > d})
+                  for d in range(D)]
+        ok = None
+        th = []
+        for d in range(D):
+            pos = rows[d] > 0.0
+            okd = pos | (in_dim[d] == 0.0)
+            ok = okd if ok is None else ok & okd
+            th.append(jnp.where(pos & (in_dim[d] > 0.0), rows[d], 1.0))
+        logth = [jnp.log(th[d]) for d in range(D)]
+
+        # prior: a/b tables are 0 beyond each model's dim and th is 1
+        # there, so no extra masking is needed (matches the batched XLA
+        # kernel's where(in_dim, ...) exactly)
+        lp = sum(mks[k] * const_tab[k] for k in range(K))
+        for d in range(D):
+            a_d = sum(mks[k] * a_tab[k, d] for k in range(K)
+                      if a_tab[k, d] != 0.0)
+            b_d = sum(mks[k] * b_tab[k, d] for k in range(K)
+                      if b_tab[k, d] != 0.0)
+            lp = lp + (a_d - 1.0 * in_dim[d]) * logth[d] - b_d * th[d]
+
+        for g in range(G):
+            lam = None
+            llam = None
+            for d in range(D):
+                if lam_sets[g][d]:
+                    sel = msum(lam_sets[g][d])
+                    t1 = sel * th[d]
+                    t2 = sel * logth[d]
+                    lam = t1 if lam is None else lam + t1
+                    llam = t2 if llam is None else llam + t2
+            base = sx_g[g] * llam - clg_g[g]
+            nb_models = nb_sets[g]
+            if len(nb_models) < K:       # some model uses Poisson here
+                pois = base - n_g[g] * lam
+            if nb_models:
+                kap = None
+                for d in range(D):
+                    if kap_sets[g][d]:
+                        sel = msum(kap_sets[g][d])
+                        t = sel * th[d]
+                        kap = t if kap is None else kap + t
+                km1 = 1.0 / jnp.maximum(kap, 1e-30)
+                nb = base + n_g[g] * (km1 * jnp.log(km1)
+                                      - pal_gammaln(km1)) \
+                    - (sx_g[g] + n_g[g] * km1) * jnp.log(lam + km1)
+                for v, c in zip(vals_g[g], cnts_g[g]):
+                    nb = nb + c * pal_gammaln(v + km1)
+            if not nb_models:
+                lp = lp + pois
+            elif len(nb_models) == K:
+                lp = lp + nb
+            else:
+                is_nb = msum(nb_models)
+                lp = lp + jnp.where(is_nb > 0.5, nb, pois)
+        return jnp.where(ok, lp, -1e6)
+
+    return batched_cols
+
+
 def rb9_set(**kw) -> ModelSet:
     kw.setdefault("batched_logpost", _build_batched_logpost(
         kw.get("dtype", jnp.float32)))
+    kw.setdefault("batched_logpost_cols", _build_batched_cols())
     x = jnp.asarray(X_DATA, jnp.float32)
     lgx1 = jnp.asarray(np_gammaln(X_DATA + 1.0), jnp.float32)
     groups = jnp.asarray(GROUPS)

@@ -79,7 +79,13 @@ def build_sampler(target, n_chains, seed=0):
 
 
 def chunk_cost_analysis(am, n_sweeps):
-    """flops and HBM bytes of one compiled production chunk."""
+    """flops and HBM bytes of one compiled production chunk (XLA path).
+
+    For the fused Pallas engine XLA's cost model cannot see inside the
+    kernel, so this is only meaningful for the XLA chunk runner; fused
+    targets report state-traffic bytes instead (the whole point of the
+    fused kernel is that per-sweep HBM traffic collapses to ~zero — one
+    state read+write per chunk)."""
     from automix_tpu.kernels import rjmcmc
 
     runner = rjmcmc.build_chunk_runner(am.modelset, am.cfg, burning=False,
@@ -97,6 +103,15 @@ def chunk_cost_analysis(am, n_sweeps):
         return 0.0, 0.0
 
 
+def engine_used(am):
+    """Which stage-3 engine the sampler auto-selected."""
+    from automix_tpu.kernels import fused
+
+    lmax = (int(am.proposal.lam.shape[1]) if am.proposal is not None else 0)
+    return "fused" if fused.fused_eligible(
+        am.modelset, am.cfg, False, am.mesh, lmax) else "xla"
+
+
 def bench_target(target, n_chains, n_sweeps, warmup, profile_dir=None):
     import jax
 
@@ -112,7 +127,9 @@ def bench_target(target, n_chains, n_sweeps, warmup, profile_dir=None):
     elapsed = time.perf_counter() - t0
     sweeps_s = n_chains * n_sweeps / elapsed
 
-    flops, nbytes = chunk_cost_analysis(am, am.cfg.sweep_chunk)
+    engine = engine_used(am)
+    flops, nbytes = ((0.0, 0.0) if engine == "fused"
+                     else chunk_cost_analysis(am, am.cfg.sweep_chunk))
     chunk_t = elapsed * am.cfg.sweep_chunk / n_sweeps
     kind, (peak_flops, peak_bw) = chip_peaks(jax.devices()[0])
     achieved_flops = flops / chunk_t if flops else 0.0
@@ -120,6 +137,7 @@ def bench_target(target, n_chains, n_sweeps, warmup, profile_dir=None):
 
     result = {
         "target": target,
+        "engine": engine,
         "n_chains": n_chains,
         "n_sweeps": n_sweeps,
         "seconds": round(elapsed, 4),
@@ -200,7 +218,7 @@ def main():
     print(f"# device: {dev.device_kind} ({dev.platform})", flush=True)
 
     spec = {
-        "tutorial": (32_768, 50_000, 1000),
+        "tutorial": (131_072, 50_000, 1000),
         "rb9": (16_384, 10_000, 500),
         "ddi": (8_192, 2_000, 200),
     }
@@ -215,7 +233,8 @@ def main():
 
     if args.scaling:
         results["scaling"] = scaling_curve(
-            [4096, 8192, 16_384, 32_768, 65_536, 131_072])
+            [4096, 8192, 16_384, 32_768, 65_536, 131_072, 262_144,
+             524_288])
 
     with open(args.out, "w") as f:
         json.dump(results, f, indent=1)
