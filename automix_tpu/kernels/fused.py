@@ -109,12 +109,20 @@ def _accept(delta):
     return jnp.exp(jnp.clip(delta, LOG_ACCEPT_CLAMP, 0.0))
 
 
-def choose_block(n_chains: int) -> int:
-    """Largest power-of-two block <= _MAX_BLK dividing the chain count.
-    Minimum 1024 (= 8 sublanes x 128 lanes, one full float32 tile); the
+def choose_block(n_chains: int, n_tiles: int = 0) -> int:
+    """Largest power-of-two block <= _MAX_BLK dividing the chain count
+    whose VMEM working set fits the 16 MB scoped limit.
+
+    ``n_tiles`` estimates the live per-lane float32 tiles of the sweep
+    body (state carry + the K*L*D standardized-residual tiles + random
+    words); Mosaic roughly doubles it with block double-buffering and
+    transients, so the budget targets half the scoped limit.  Minimum
+    block 1024 (= 8 sublanes x 128 lanes, one full float32 tile); the
     eligibility check requires n_chains % 1024 == 0."""
+    budget = 8 * 1024 * 1024
     blk = _MAX_BLK
-    while blk > 1024 and n_chains % blk != 0:
+    while blk > 1024 and (n_chains % blk != 0
+                          or (n_tiles and n_tiles * 4 * blk > budget)):
         blk //= 2
     return blk
 
@@ -210,7 +218,9 @@ def build_fused_chunk_runner(modelset, cfg: EngineConfig, burning: bool):
 
     @functools.lru_cache(maxsize=None)
     def _compiled(n_sweeps: int, L: int, S: int):
-        BLK = choose_block(S)
+        n_tiles = (K * L * D + 2 * K * D + 2 * K + 3 * D
+                   + (3 * D + 2 * L + K + 1) + 60)
+        BLK = choose_block(S, n_tiles)
         W = BLK // 8
         G = S // BLK
         G8 = G * 8
