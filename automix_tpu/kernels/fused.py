@@ -144,13 +144,16 @@ def fused_supported(modelset, cfg: EngineConfig) -> bool:
 
 def fused_eligible(modelset, cfg: EngineConfig, collect: bool, mesh,
                    lmax: int) -> bool:
-    """Full eligibility for a concrete runner: static support + no traces,
-    no mesh, and an unroll budget on the K*L*D loops."""
-    if cfg.fused == "off" or collect or mesh is not None:
+    """Full eligibility for a concrete runner: static support + no traces
+    + an unroll budget on the K*L*D loops.  With a mesh the kernel runs
+    per shard under shard_map (chunk statistics psum'd), so every shard's
+    local chain count must tile into 8x128 lane blocks."""
+    if cfg.fused == "off" or collect:
         return False
     if not fused_supported(modelset, cfg):
         return False
-    if cfg.n_chains % 1024 != 0:
+    n_shards = int(mesh.devices.size) if mesh is not None else 1
+    if cfg.n_chains % (n_shards * 1024) != 0:
         return False
     K, D = modelset.nmodels, modelset.dmax
     if K * max(lmax, 1) * D > _MAX_KLD:
@@ -160,10 +163,18 @@ def fused_eligible(modelset, cfg: EngineConfig, collect: bool, mesh,
     return True  # "on": forced (interpret off-TPU)
 
 
-def build_fused_chunk_runner(modelset, cfg: EngineConfig, burning: bool):
+def build_fused_chunk_runner(modelset, cfg: EngineConfig, burning: bool,
+                             mesh=None):
     """Build ``runner(chains, prop, n_sweeps) -> (chains', chunk_stats)``
     with the same chunk-stats contract as the XLA runner
-    (rjmcmc._chunk_scan with ``collect=False``)."""
+    (rjmcmc._chunk_scan with ``collect=False``).
+
+    With ``mesh`` the kernel runs per shard under ``shard_map`` over the
+    chain axis: every shard drives its own local lane blocks, RNG streams
+    are seeded by *global* block / chain indices (shard offset via
+    ``lax.axis_index``, the sweep_rng.py contract), and the per-shard
+    chunk statistics are reduced with one ``psum`` — trajectories are
+    therefore independent of the mesh layout for a fixed block size."""
     K, D = modelset.nmodels, modelset.dmax
     dims = tuple(int(d) for d in modelset.dims)    # static per-model dims
     adapt = cfg.adapt and not burning
@@ -240,13 +251,17 @@ def build_fused_chunk_runner(modelset, cfg: EngineConfig, burning: bool):
                    ks_o, ts_o, tq_o, cnt_o):
             g = pl.program_id(0)
             sweep0 = scal_ref[1]
+            # scal_ref[2]: global index of this shard's first block;
+            # scal_ref[3]: global index of its first chain (0 unsharded).
             if rng_mode == "hw":
                 pltpu.prng_seed(
-                    scal_ref[0] + (g + 1) * jnp.int32(-1640531527), sweep0)
+                    scal_ref[0]
+                    + (scal_ref[2] + g + 1) * jnp.int32(-1640531527),
+                    sweep0)
             else:
                 sub = jax.lax.broadcasted_iota(jnp.int32, (8, W), 0)
                 lane = jax.lax.broadcasted_iota(jnp.int32, (8, W), 1)
-                chain_id = (g * 8 + sub) * W + lane
+                chain_id = scal_ref[3] + (g * 8 + sub) * W + lane
                 cbase = chain_id.astype(_U) * _U(NW)
 
             def draw_words(t):
@@ -574,28 +589,31 @@ def build_fused_chunk_runner(modelset, cfg: EngineConfig, burning: bool):
                        vec_spec(6)],
         )
         f32 = jnp.float32
+
+        def out_sds(shape, dtype):
+            return jax.ShapeDtypeStruct(shape, dtype)
+
         call = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
             out_shape=[
-                jax.ShapeDtypeStruct((G8, W), jnp.int32),      # k
-                jax.ShapeDtypeStruct((D, G8, W), f32),         # theta
-                jax.ShapeDtypeStruct((G8, W), f32),            # logp
-                jax.ShapeDtypeStruct((K, G8, W), f32),         # pk
-                jax.ShapeDtypeStruct((G8, W), f32),            # pkllim
-                jax.ShapeDtypeStruct((G8, W), jnp.int32),      # nreinit
-                jax.ShapeDtypeStruct((K, G8, W), jnp.int32),   # ksummary
-                jax.ShapeDtypeStruct((K * D, G8, W), f32),     # theta_sum
-                jax.ShapeDtypeStruct((K * D, G8, W), f32),     # theta_sqsum
-                jax.ShapeDtypeStruct((6, G8, W), jnp.int32),   # counters
+                out_sds((G8, W), jnp.int32),      # k
+                out_sds((D, G8, W), f32),         # theta
+                out_sds((G8, W), f32),            # logp
+                out_sds((K, G8, W), f32),         # pk
+                out_sds((G8, W), f32),            # pkllim
+                out_sds((G8, W), jnp.int32),      # nreinit
+                out_sds((K, G8, W), jnp.int32),   # ksummary
+                out_sds((K * D, G8, W), f32),     # theta_sum
+                out_sds((K * D, G8, W), f32),     # theta_sqsum
+                out_sds((6, G8, W), jnp.int32),   # counters
             ],
             interpret=interpret,
         )
 
         dims_f = jnp.asarray(modelset.dims, f32)
 
-        @jax.jit
-        def run(chains: Chains, prop: Proposal):
+        def local_run(chains: Chains, prop: Proposal):
             B = jnp.tril(prop.B.astype(f32))
             eye = jnp.broadcast_to(jnp.eye(D, dtype=f32), B.shape)
             binv = jax.lax.linalg.triangular_solve(
@@ -605,8 +623,14 @@ def build_fused_chunk_runner(modelset, cfg: EngineConfig, burning: bool):
                                jnp.asarray(NEG_INF, f32))
             logdet = prop.logdetB.astype(f32)
             abase = loglam - logdet - 0.5 * dims_f[:, None] * _LOG_2PI
+            if mesh is not None:
+                from automix_tpu.parallel.mesh import CHAIN_AXIS
+                shard = jax.lax.axis_index(CHAIN_AXIS).astype(jnp.int32)
+            else:
+                shard = jnp.int32(0)
             scal = jnp.stack([jnp.int32(seed_static),
-                              chains.sweep.astype(jnp.int32)])
+                              chains.sweep.astype(jnp.int32),
+                              shard * G, shard * S])
             outs = call(
                 scal,
                 chains.k.reshape(G8, W),
@@ -639,13 +663,39 @@ def build_fused_chunk_runner(modelset, cfg: EngineConfig, burning: bool):
                 "naccrwms": cnt_tot[2], "ntryrwms": cnt_tot[3],
                 "nacctd": cnt_tot[4], "ntrytd": cnt_tot[5],
             }
+            if mesh is not None:
+                chunk = jax.tree.map(
+                    lambda v: jax.lax.psum(v, CHAIN_AXIS), chunk)
             return chains_out, chunk
 
-        return run
+        if mesh is None:
+            return jax.jit(local_run)
+
+        from jax.sharding import PartitionSpec as P
+
+        from automix_tpu.parallel.mesh import CHAIN_AXIS
+        chain_p = P(CHAIN_AXIS)
+        rep_p = P()
+        chains_spec = Chains(key=chain_p, k=chain_p, theta=chain_p,
+                             logp=chain_p, pk=chain_p, pkllim=chain_p,
+                             nreinit=chain_p, sweep=rep_p)
+        prop_spec = jax.tree.map(lambda _: rep_p, Proposal(
+            lam=0, mu=0, B=0, logdetB=0, nmix=0, sig=0))
+        # check_vma=False: the kernel is opaque to the varying-axis
+        # checker (and in interpret mode its inner fori_loop carries mix
+        # tagged and untagged values); correctness of the manual psum
+        # reduction is asserted by the sharded==unsharded test instead.
+        return jax.jit(jax.shard_map(
+            local_run, mesh=mesh,
+            in_specs=(chains_spec, prop_spec),
+            out_specs=(chains_spec, rep_p),
+            check_vma=False))
 
     def runner(chains: Chains, prop: Proposal, n_sweeps: int):
         L = int(prop.lam.shape[1])
         S = int(chains.k.shape[0])
+        if mesh is not None:
+            S = S // int(mesh.devices.size)
         return _compiled(n_sweeps, L, S)(chains, prop)
 
     return runner

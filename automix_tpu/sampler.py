@@ -74,7 +74,8 @@ class AMSampler:
         if kk not in self._runners:
             if use_fused:
                 self._runners[kk] = fused.build_fused_chunk_runner(
-                    self.modelset, self.cfg, burning=burning)
+                    self.modelset, self.cfg, burning=burning,
+                    mesh=self.mesh)
             else:
                 self._runners[kk] = rjmcmc.build_chunk_runner(
                     self.modelset, self.cfg, burning=burning,

@@ -119,6 +119,30 @@ def test_fused_matches_xla_statistically():
     assert abs(out["on"][0] - out["off"][0]) < 0.08
 
 
+def test_fused_sharded_equals_unsharded(eight_devices):
+    """The fused kernel under shard_map (per-shard pallas_call, psum'd
+    chunk stats, globally-indexed hash RNG streams) produces bitwise the
+    same trajectories as the single-device kernel for a fixed proposal."""
+    from automix_tpu.parallel import mesh as mesh_lib
+
+    fit = _mk_sampler(tutorial_set, n_chains=8192, fused_rng="hash")
+    fit.estimate_conditional_probs()
+    prop = fit.proposal
+
+    res = {}
+    for nm, mesh in (("sharded", mesh_lib.make_mesh(8)), ("single", None)):
+        am = _mk_sampler(tutorial_set, n_chains=8192, fused_rng="hash")
+        am.mesh = mesh
+        am.set_proposal(prop)
+        am.burn_samples(40)
+        stats = am.rjmcmc_samples(120, collect=False)
+        res[nm] = (stats.ksummary.copy(), np.asarray(am.chains.theta),
+                   np.asarray(am.chains.k))
+    np.testing.assert_array_equal(res["sharded"][0], res["single"][0])
+    np.testing.assert_array_equal(res["sharded"][2], res["single"][2])
+    np.testing.assert_array_equal(res["sharded"][1], res["single"][1])
+
+
 def test_fused_eligibility_gates():
     ms = tutorial_set()
     cfg = EngineConfig(n_chains=1024, fused="on")
@@ -163,9 +187,11 @@ def test_rb9_batched_cols_parity():
     assert np.max(np.abs(ref - got) / np.maximum(np.abs(ref), 1.0)) < 1e-4
 
 
+@pytest.mark.slow
 def test_fused_rb9_family_kernel():
     """Fused sweep through ModelSet.batched_logpost_cols (one density
-    evaluation for all ten rb9 models): pipeline runs and mixes."""
+    evaluation for all ten rb9 models): pipeline runs and mixes.
+    Slow: ~4 min of interpret-mode K=10/L=6/D=5 unrolled sweeps."""
     from automix_tpu.models import rb9
 
     cfg = EngineConfig(n_chains=1024, n_chains_stage1=256,
