@@ -44,8 +44,11 @@ Randomness: two in-kernel sources, selected statically.
   and ~20% slower than ``hw`` on TPU.
 
 Eligibility is checked by :func:`fused_eligible`; the sampler falls back
-to the XLA chunk runner for anything the kernel does not cover (traces,
-meshes, Student-t, HMC, permutation mode, big K*L*D unrolls).
+to the XLA chunk runner for anything the kernel does not cover (per-sweep
+traces, Student-t latents, HMC moves, pooled pk, K*L*D unrolls beyond the
+VMEM/trace budget).  Meshes ARE covered: under ``shard_map`` each shard
+runs its own blocks with globally-indexed RNG streams and the chunk
+statistics reduce with one psum.
 """
 
 from __future__ import annotations
@@ -136,7 +139,6 @@ def fused_supported(modelset, cfg: EngineConfig) -> bool:
         and cfg.dtype == jnp.float32
         and cfg.student_t_dof == 0
         and cfg.within_move == "rwm"
-        and not cfg.perm
         and cfg.pk_mode == "per_chain"
         and modelset.dmax <= _MAX_D
     )
@@ -241,7 +243,8 @@ def build_fused_chunk_runner(modelset, cfg: EngineConfig, burning: bool,
         s_gall = D + 1                  # L words: forward allocation gumbels
         s_gmod = s_gall + L             # K words: destination-model gumbels
         s_gcmp = s_gmod + K             # L words: destination-component
-        s_bm = s_gcmp + L               # 2D words: Box-Muller uniform pairs
+        s_perm = s_gcmp + L             # D words: latent permutation keys
+        s_bm = s_perm + (D if cfg.perm else 0)   # 2D Box-Muller pairs
         NW = s_bm + 2 * D
 
         def kernel(scal_ref, k_ref, th_ref, lp_ref, pk_ref, pkl_ref,
@@ -439,16 +442,42 @@ def build_fused_chunk_runner(modelset, cfg: EngineConfig, burning: bool,
                 mask_kn = [sum(mkn[m] for m in range(K) if dims[m] > d)
                            for d in range(D)]
 
-                # latent dimension-matching + Jacobian terms
+                # latent dimension-matching + Jacobian terms: the "grow"
+                # density uses the pre-permutation latent, the "shrink"
+                # density the post-permutation one (automix.c:1171-1204;
+                # rjmcmc.py applies cfg.perm between the two as well)
                 wf = []
                 for d in range(D):
                     wf.append(mask_k[d] * work[d]
                               + (1.0 - mask_k[d]) * z_lat[d])
                 for d in range(D):
-                    lpdf = -0.5 * wf[d] * wf[d] - HALF_LOG_2PI
                     up = (1.0 - mask_k[d]) * mask_kn[d]
+                    logratio = logratio - up * (
+                        -0.5 * wf[d] * wf[d] - HALF_LOG_2PI)
+                if cfg.perm:
+                    # random permutation of the first max(dim_k, dim_kn)
+                    # latent slots (doPerm, automix.c:1184-1194): sort by
+                    # per-slot uniform keys, inactive tail keyed 1+coord;
+                    # an unrolled bubble network (stable, D<=6) replaces
+                    # the XLA path's argsort + take_along_axis.
+                    n_act = [jnp.maximum(mask_k[d], mask_kn[d])
+                             for d in range(D)]
+                    keys = [n_act[d] * _u01(words[s_perm + d])
+                            + (1.0 - n_act[d]) * (1.0 + d)
+                            for d in range(D)]
+                    for _ in range(D):
+                        for j in range(D - 1):
+                            swap = keys[j] > keys[j + 1]
+                            kj = jnp.where(swap, keys[j + 1], keys[j])
+                            kj1 = jnp.where(swap, keys[j], keys[j + 1])
+                            wj = jnp.where(swap, wf[j + 1], wf[j])
+                            wj1 = jnp.where(swap, wf[j], wf[j + 1])
+                            keys[j], keys[j + 1] = kj, kj1
+                            wf[j], wf[j + 1] = wj, wj1
+                for d in range(D):
                     down = mask_k[d] * (1.0 - mask_kn[d])
-                    logratio = logratio + (down - up) * lpdf
+                    logratio = logratio + down * (
+                        -0.5 * wf[d] * wf[d] - HALF_LOG_2PI)
 
                 # de-standardize into the destination model
                 # (automix.c:1206-1211)

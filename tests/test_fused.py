@@ -208,6 +208,18 @@ def test_fused_rb9_family_kernel():
     assert stats.nacctd > 0          # trans-dimensional moves accept
 
 
+def test_fused_perm_mode():
+    """doPerm (automix.c:1184-1194) inside the kernel — the bubble-network
+    latent permutation preserves the stationary distribution: toy1's exact
+    model posteriors still come out."""
+    am = _mk_sampler(toy.toy1_set, seed=21, perm=True)
+    am.estimate_conditional_probs()
+    am.burn_samples(100)
+    stats = am.rjmcmc_samples(400, collect=False)
+    assert stats.ksummary.sum() == 1024 * 400
+    assert abs(stats.model_probs[0] - toy.TOY1_MODEL_PROBS[0]) < 0.08
+
+
 def test_fused_single_model():
     """K == 1 degenerate RJ (kn = k, logratio starts at 0) still mixes the
     within-model chain correctly: Beta(2,2) moments."""
