@@ -143,6 +143,33 @@ def test_fused_sharded_equals_unsharded(eight_devices):
     np.testing.assert_array_equal(res["sharded"][1], res["single"][1])
 
 
+def test_fused_checkpoint_resume(tmp_path):
+    """save/load mid-run through the fused engine continues the exact
+    trajectories (hash RNG streams are sweep-indexed, so the resumed run
+    is bitwise equal to the uninterrupted one regardless of chunking)."""
+    path = str(tmp_path / "ckpt.npz")
+
+    am_a = _mk_sampler(tutorial_set, fused_rng="hash")
+    am_a.estimate_conditional_probs()
+    am_a.burn_samples(50)
+    am_a.rjmcmc_samples(200, collect=False)
+
+    am_b = _mk_sampler(tutorial_set, fused_rng="hash")
+    am_b.estimate_conditional_probs()
+    am_b.burn_samples(50)
+    am_b.rjmcmc_samples(90, collect=False)
+    am_b.save(path)
+
+    am_c = _mk_sampler(tutorial_set, fused_rng="hash")
+    am_c.load(path)
+    am_c.rjmcmc_samples(110, collect=False)
+
+    np.testing.assert_array_equal(np.asarray(am_a.chains.k),
+                                  np.asarray(am_c.chains.k))
+    np.testing.assert_array_equal(np.asarray(am_a.chains.theta),
+                                  np.asarray(am_c.chains.theta))
+
+
 def test_fused_eligibility_gates():
     ms = tutorial_set()
     cfg = EngineConfig(n_chains=1024, fused="on")
