@@ -371,30 +371,32 @@ def trim_proposal(proposal: Proposal) -> Proposal:
     Annihilation typically leaves far fewer than NUM_MIX_COMPS_MAX live
     components; the hot loop's one-hot table contractions scale with the
     padded L, so trimming the dead tail is a direct throughput win.  Live
-    components always occupy a slot prefix... they do not — annihilation
-    leaves holes — so compact each model's live slots to the front first.
+    components do not occupy a slot prefix — annihilation leaves holes —
+    so each model's live slots are compacted to the front first via a
+    stable sort on the dead mask (device-side: only the trimmed length
+    itself syncs to host, as it must — it is a shape).
     """
     import numpy as np
 
-    lam = np.asarray(proposal.lam)
-    mu = np.asarray(proposal.mu)
-    B = np.asarray(proposal.B)
-    logdet = np.asarray(proposal.logdetB)
-    K, L = lam.shape
-    D = mu.shape[2]
-    l_active = max(1, int(np.asarray(proposal.nmix).max()))
+    K, L = proposal.lam.shape
+    D = proposal.mu.shape[2]
+    l_active = max(1, min(L, int(np.asarray(proposal.nmix).max())))
 
-    lam_c = np.zeros((K, l_active), lam.dtype)
-    mu_c = np.zeros((K, l_active, D), mu.dtype)
-    B_c = np.tile(np.eye(D, dtype=B.dtype), (K, l_active, 1, 1))
-    logdet_c = np.zeros((K, l_active), logdet.dtype)
-    for k in range(K):
-        live = np.nonzero(lam[k] > 0)[0][:l_active]
-        n = len(live)
-        lam_c[k, :n] = lam[k, live]
-        mu_c[k, :n] = mu[k, live]
-        B_c[k, :n] = B[k, live]
-        logdet_c[k, :n] = logdet[k, live]
-    return Proposal(lam=jnp.asarray(lam_c), mu=jnp.asarray(mu_c),
-                    B=jnp.asarray(B_c), logdetB=jnp.asarray(logdet_c),
+    dead = proposal.lam <= 0                            # [K, L]
+    order = jnp.argsort(dead, axis=1, stable=True)      # live slots first
+    take = order[:, :l_active]
+
+    def compact(x, fill):
+        kept = jnp.take_along_axis(
+            x, take.reshape(K, l_active, *([1] * (x.ndim - 2))), axis=1)
+        alive = jnp.take_along_axis(~dead, take, axis=1)
+        alive = alive.reshape(K, l_active, *([1] * (x.ndim - 2)))
+        return jnp.where(alive, kept, fill)
+
+    eye = jnp.broadcast_to(jnp.eye(D, dtype=proposal.B.dtype),
+                           (K, l_active, D, D))
+    return Proposal(lam=compact(proposal.lam, 0.0),
+                    mu=compact(proposal.mu, 0.0),
+                    B=compact(proposal.B, eye),
+                    logdetB=compact(proposal.logdetB, 0.0),
                     nmix=proposal.nmix, sig=proposal.sig)
