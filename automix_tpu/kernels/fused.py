@@ -98,10 +98,17 @@ def _lowbias32(x):
 def _u01(bits_u32):
     """uint32 words -> float32 uniforms strictly inside (0, 1): top 24
     bits + half-ulp (uint->float casts are unsupported in Mosaic, so the
-    logical-shifted top bits go through an int32 cast)."""
+    logical-shifted top bits go through an int32 cast).
+
+    The largest value the formula produces, 1 - 2^-25, rounds to exactly
+    1.0 in float32 (24-bit mantissa), which would blow up log1p(-u) in
+    Box-Muller / Gumbel once every 2^24 draws — at 131k chains x 50k
+    sweeps that is ~10^3 poisoned draws per run — so clamp to the largest
+    float32 strictly below 1."""
     top24 = pltpu.bitcast(bits_u32 >> 8, jnp.int32)
-    return top24.astype(jnp.float32) * np.float32(2.0 ** -24) \
+    u = top24.astype(jnp.float32) * np.float32(2.0 ** -24) \
         + np.float32(2.0 ** -25)
+    return jnp.minimum(u, np.float32(1.0 - 2.0 ** -24))
 
 
 def _gumbel(u):
@@ -339,6 +346,12 @@ def build_fused_chunk_runner(modelset, cfg: EngineConfig, burning: bool,
                     prop = tuple(th[d] + sig_k[d] * z_rwm[d]
                                  for d in range(D))
                     lpn = logpost_cols(mks, prop)
+                    # Arithmetic blends beat selects by ~15% here, and are
+                    # safe because every operand is provably finite: draws
+                    # are clamped (_u01), densities sanitized
+                    # (logpost_cols), tables finite -> 0 * x never sees an
+                    # inf/NaN.  (With unclamped draws a rejected inf
+                    # proposal WOULD poison the carry via 0 * inf.)
                     acc = (u_rwm[0] < _accept(lpn - logp)).astype(
                         jnp.float32)
                     th = tuple(th[d] + acc * (prop[d] - th[d])

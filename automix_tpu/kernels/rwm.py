@@ -255,6 +255,19 @@ def run_stage1(modelset: ModelSet, cfg: EngineConfig, key, nsweeps: int,
 
     key, k_init, k_chains = jax.random.split(key, 3)
     init_theta = modelset.init_points(k_init)       # [K, D]
+
+    from automix_tpu.kernels import fused_stage1
+    if fused_stage1.stage1_eligible(modelset, cfg, mesh, C):
+        sig, samples, tele_sig, tele_acc, lp = \
+            fused_stage1.run_fused_stage1(modelset, cfg, nsweeps, C,
+                                          init_theta)
+        return sig, samples, {
+            "sig_trace": tele_sig,
+            "accept_trace": tele_acc,
+            "final_logp": lp,
+            "nsweeps": nsweeps + nsweeps // 10,
+        }
+
     block_key = jax.random.fold_in(key, 7)
     # Global per-chain keys, laid out [K, C] so sharding splits the chain
     # axis without crossing model boundaries.  (Keys are raw uint32 [, 2]
