@@ -89,6 +89,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--chains", type=int, default=4096,
                    help="parallel chains (the TPU throughput axis)")
     p.add_argument("--chains-stage1", type=int, default=2048)
+    p.add_argument("--fused", default="auto", choices=("auto", "on", "off"),
+                   help="fused Pallas sweep engine (kernels/fused.py): "
+                        "auto selects it on TPU when eligible")
     p.add_argument("--platform", default=None,
                    help="force a jax platform (cpu/tpu)")
     p.add_argument("--no-reports", action="store_true",
@@ -132,6 +135,7 @@ def main(argv=None):
         mix_fit=AUTORJ_MIX_FIT if args.mode == 2 else FIGUEIREDO_MIX_FIT,
         n_chains=args.chains,
         n_chains_stage1=args.chains_stage1,
+        fused=args.fused,
     )
     modelset = _resolve_problem(args.problem)()
     am = AMSampler(modelset, cfg)
