@@ -60,6 +60,11 @@ def stage1_eligible(modelset, cfg: EngineConfig, mesh, C: int) -> bool:
         return False
     if C % 1024 != 0 or C > 4096:
         return False
+    # one Mosaic compile per model: past a handful of models the compile
+    # bill exceeds what the fused run saves over the (already cheap) XLA
+    # stage-1 scan, so large families stay on the XLA path
+    if modelset.nmodels > 6:
+        return False
     if cfg.fused == "auto":
         return jax.devices()[0].platform == "tpu"
     return True
@@ -79,8 +84,15 @@ def _branch_for(modelset, k: int):
     else:
         batched = modelset.batched_logpost_cols
         K = modelset.nmodels
+        D = modelset.dmax
         mks = [1.0 if i == k else 0.0 for i in range(K)]
-        raw = lambda rows: batched(mks, rows)       # noqa: E731
+
+        def raw(rows):
+            # the family kernel indexes all dmax coordinate rows; pad the
+            # per-model tuple with zeros (its in_dim masks ignore them)
+            rows = tuple(rows) + (jnp.zeros_like(rows[0]),) * (D - len(rows))
+            return batched(mks, rows)
+
         key = batched
 
     def branch(rows):
