@@ -158,6 +158,15 @@ class EngineConfig:
     # streams, bitwise identical compiled vs interpreted), "auto" = hw on
     # TPU / hash under the interpreter.
     fused_rng: str = "auto"
+    # Fused Pallas *stage-1* kernel (kernels/fused_stage1.py): one model's
+    # whole adaptive-RWM schedule in a single pallas_call.  OPT-IN ("on" =
+    # forced, interpret mode off-TPU; "auto" = on real TPU when eligible):
+    # the compiled kernel wedged a v5e chip through the axon tunnel on
+    # first hardware contact (the dispatch never completed and the chip
+    # stayed unresponsive to subsequent clients), so it stays "off" until
+    # it has survived a hardware shakedown.  The XLA stage-1 scan
+    # (kernels/rwm.py) is the production path.
+    fused_stage1: str = "off"
     dtype: Any = jnp.float32
 
     def __post_init__(self):
@@ -169,6 +178,8 @@ class EngineConfig:
             raise ValueError(f"unknown fused {self.fused!r}")
         if self.fused_rng not in ("auto", "hw", "hash"):
             raise ValueError(f"unknown fused_rng {self.fused_rng!r}")
+        if self.fused_stage1 not in ("auto", "on", "off"):
+            raise ValueError(f"unknown fused_stage1 {self.fused_stage1!r}")
         if self.within_move not in ("rwm", "hmc"):
             raise ValueError(f"unknown within_move {self.within_move!r}")
         if self.pk_mode not in ("per_chain", "pooled"):

@@ -50,8 +50,13 @@ _KERNEL_CACHE: dict = {}
 def stage1_eligible(modelset, cfg: EngineConfig, mesh, C: int) -> bool:
     """The fused stage-1 covers: float32 Gaussian runs, no mesh (stage-1
     pooling is per model inside ONE lane block), all chains of a model in
-    one block, column-form densities available."""
-    if cfg.fused == "off" or mesh is not None:
+    one block, column-form densities available.
+
+    Gated on ``cfg.fused_stage1`` (default "off"), NOT on ``cfg.fused``:
+    the stage-3 fused engine is hardware-proven while this kernel wedged
+    a v5e on first contact (see config.py) — the two must not share an
+    enable switch."""
+    if cfg.fused_stage1 == "off" or mesh is not None:
         return False
     has_cols = (getattr(modelset, "batched_logpost_cols", None) is not None
                 or all(m.logp_cols is not None for m in modelset.models))
@@ -65,9 +70,9 @@ def stage1_eligible(modelset, cfg: EngineConfig, mesh, C: int) -> bool:
     # stage-1 scan, so large families stay on the XLA path
     if modelset.nmodels > 6:
         return False
-    if cfg.fused == "auto":
+    if cfg.fused_stage1 == "auto":
         return jax.devices()[0].platform == "tpu"
-    return True
+    return True  # "on": forced (interpret off-TPU)
 
 
 def _branch_for(modelset, k: int):

@@ -91,3 +91,34 @@ def test_stage1_log_adaptation_matches_aap_posterior():
         x = np.asarray(samples[0, :, 0])
         assert abs(x.mean() - 0.5) < 0.25, (rule, x.mean())
         assert abs(x.std() - 1.0) < 0.3, (rule, x.std())
+
+
+def test_fused_stage1_interpret_matches_xla_path():
+    """kernels/fused_stage1.py under the Mosaic interpreter
+    (fused_stage1='on' off-TPU) must reproduce the XLA stage-1 scan's
+    *statistics*: same adapted scales and the same stage-2 sample
+    distribution per model (streams differ — threefry vs counter hash —
+    so parity is statistical, fused_stage1.py module docstring).
+
+    The fused kernel is opt-in (config.py fused_stage1='off' default)
+    after wedging a v5e on first hardware contact; this test pins the
+    semantics so a future hardware shakedown only has to debug the
+    Mosaic compile, not the algorithm.
+    """
+    from automix_tpu.models.tutorial import tutorial_set
+    sig_by_path, mom_by_path = {}, {}
+    for mode in ("on", "off"):
+        ms = tutorial_set()
+        cfg = EngineConfig(n_chains_stage1=1024, stage1_sweeps=500,
+                           seed=3, fused_stage1=mode)
+        sig, smp, tele = rwm.run_stage1(ms, cfg, jax.random.PRNGKey(0), 500)
+        assert smp.shape[0] == 3
+        sig_by_path[mode] = np.asarray(sig)
+        mom_by_path[mode] = (np.asarray(smp).mean(axis=1),
+                             np.asarray(smp).std(axis=1))
+    np.testing.assert_allclose(
+        sig_by_path["on"], sig_by_path["off"], rtol=0.25, atol=0.05)
+    for which in (0, 1):
+        np.testing.assert_allclose(
+            mom_by_path["on"][which], mom_by_path["off"][which],
+            rtol=0.25, atol=0.15)
