@@ -92,6 +92,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fused", default="auto", choices=("auto", "on", "off"),
                    help="fused Pallas sweep engine (kernels/fused.py): "
                         "auto selects it on TPU when eligible")
+    p.add_argument("--fused-stage1", default="auto",
+                   choices=("auto", "on", "off"),
+                   help="fused Pallas stage-1 kernel "
+                        "(kernels/fused_stage1.py): auto selects it on TPU "
+                        "when eligible")
     p.add_argument("--platform", default=None,
                    help="force a jax platform (cpu/tpu)")
     p.add_argument("--no-reports", action="store_true",
@@ -136,6 +141,7 @@ def main(argv=None):
         n_chains=args.chains,
         n_chains_stage1=args.chains_stage1,
         fused=args.fused,
+        fused_stage1=args.fused_stage1,
     )
     modelset = _resolve_problem(args.problem)()
     am = AMSampler(modelset, cfg)

@@ -158,15 +158,17 @@ class EngineConfig:
     # streams, bitwise identical compiled vs interpreted), "auto" = hw on
     # TPU / hash under the interpreter.
     fused_rng: str = "auto"
-    # Fused Pallas *stage-1* kernel (kernels/fused_stage1.py): one model's
-    # whole adaptive-RWM schedule in a single pallas_call.  OPT-IN ("on" =
-    # forced, interpret mode off-TPU; "auto" = on real TPU when eligible):
-    # the compiled kernel wedged a v5e chip through the axon tunnel on
-    # first hardware contact (the dispatch never completed and the chip
-    # stayed unresponsive to subsequent clients), so it stays "off" until
-    # it has survived a hardware shakedown.  The XLA stage-1 scan
-    # (kernels/rwm.py) is the production path.
-    fused_stage1: str = "off"
+    # Fused Pallas *stage-1* kernel (kernels/fused_stage1.py): the whole
+    # model family's adaptive-RWM schedule as a sequence of short
+    # VMEM-resident pallas_call segments.  "auto" (default) uses it on
+    # real TPU whenever eligible (float32/Gaussian, column densities, no
+    # mesh); "on" forces it (interpret mode off-TPU — the test path);
+    # "off" always uses the XLA stage-1 scan (kernels/rwm.py).  An
+    # earlier monolithic revision of this kernel wedged a v5e on first
+    # hardware contact; the chunked redesign passed its hardware
+    # shakedown (tutorial/toy1/rb9 probes, rb9 8x faster than the XLA
+    # scan) and is production-default.
+    fused_stage1: str = "auto"
     dtype: Any = jnp.float32
 
     def __post_init__(self):

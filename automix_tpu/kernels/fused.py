@@ -137,6 +137,38 @@ def choose_block(n_chains: int, n_tiles: int = 0) -> int:
     return blk
 
 
+def make_logpost_cols(modelset):
+    """Column-form family log-posterior ``(mks, rows) -> lp`` shared by the
+    fused stage-3 sweep and fused stage-1 kernels.
+
+    ``mks`` is the list of K per-lane 0/1 model-mask tiles, ``rows`` the
+    dmax per-coordinate lane tiles.  With a hand-batched family kernel
+    (``ModelSet.batched_logpost_cols``) one evaluation covers all lanes;
+    otherwise every model's ``logp_cols`` branch is evaluated and
+    mask-selected.  Densities are sanitized to a finite range (NaN/inf ->
+    NEG_INF) so arithmetic mask-blends can never see 0 * inf."""
+    K = modelset.nmodels
+    dims = tuple(int(d) for d in modelset.dims)
+    branches = [m.logp_cols for m in modelset.models]
+    batched_cols = getattr(modelset, "batched_logpost_cols", None)
+
+    def logpost_cols(mks, rows):
+        if batched_cols is not None:
+            lp = batched_cols(mks, rows)
+            lp = jnp.minimum(jnp.maximum(lp, NEG_INF), -NEG_INF)
+            return jnp.where(lp == lp, lp, NEG_INF)
+        out = None
+        for m in range(K):
+            lp = branches[m](rows[:dims[m]])
+            lp = jnp.minimum(jnp.maximum(lp, NEG_INF), -NEG_INF)
+            lp = jnp.where(lp == lp, lp, NEG_INF)     # NaN -> reject
+            term = lp if K == 1 else mks[m] * lp
+            out = term if out is None else out + term
+        return out
+
+    return logpost_cols
+
+
 def fused_supported(modelset, cfg: EngineConfig) -> bool:
     """Static feature check (independent of proposal size / call mode)."""
     has_cols = (getattr(modelset, "batched_logpost_cols", None) is not None
@@ -187,7 +219,6 @@ def build_fused_chunk_runner(modelset, cfg: EngineConfig, burning: bool,
     K, D = modelset.nmodels, modelset.dmax
     dims = tuple(int(d) for d in modelset.dims)    # static per-model dims
     adapt = cfg.adapt and not burning
-    branches = [m.logp_cols for m in modelset.models]
     interpret = jax.devices()[0].platform != "tpu"
     rng_mode = cfg.fused_rng
     if rng_mode == "auto":
@@ -197,25 +228,7 @@ def build_fused_chunk_runner(modelset, cfg: EngineConfig, burning: bool,
                          "interpreter does not emulate the hardware PRNG)")
     seed_static = int(cfg.seed)
 
-    batched_cols = getattr(modelset, "batched_logpost_cols", None)
-
-    def logpost_cols(mks, rows):
-        """Per-lane log-posterior at per-lane model index.  With a family
-        kernel (``ModelSet.batched_logpost_cols``) one evaluation covers
-        all lanes; otherwise every branch is evaluated and mask-selected
-        (the lax.select_n of the XLA path, unrolled)."""
-        if batched_cols is not None:
-            lp = batched_cols(mks, rows)
-            lp = jnp.minimum(jnp.maximum(lp, NEG_INF), -NEG_INF)
-            return jnp.where(lp == lp, lp, NEG_INF)
-        out = None
-        for m in range(K):
-            lp = branches[m](rows[:dims[m]])
-            lp = jnp.minimum(jnp.maximum(lp, NEG_INF), -NEG_INF)
-            lp = jnp.where(lp == lp, lp, NEG_INF)     # NaN -> reject
-            term = lp if K == 1 else mks[m] * lp
-            out = term if out is None else out + term
-        return out
+    logpost_cols = make_logpost_cols(modelset)
 
     def lse_list(ls):
         m = ls[0]

@@ -1,31 +1,56 @@
-"""Fused Pallas stage-1 kernel: a model's whole adaptive-RWM run in VMEM.
+"""Fused Pallas stage-1: the whole model family's adaptive RWM in VMEM.
 
-The XLA stage-1 path (kernels/rwm.py) is a scan of ~2200 sweeps over tiny
-[K*C, D] arrays; at production sizes it costs ~2.5s — most of it per-op
-latency, since the live state is a few hundred KB.  This kernel runs one
-*model's* entire stage-1 schedule inside a single ``pallas_call``: all C
-chains of the model are one (8, W) lane block, the adapted ``sig`` is a
-scalar per coordinate, and the pooled acceptance counts — the reference's
-cross-chain adaptation signal (rwm.py pools what automix.c:619,634,638
-accumulates along one chain) — are single lane-reductions per sweep.
-Models are compiled and dispatched separately (stage 1 is embarrassingly
-parallel over models, automix.c:163), which also specializes each kernel
-to its model's exact dimension and density branch: no padding, no masks,
-one branch per evaluation.
+The XLA stage-1 path (kernels/rwm.py) lowers each sweep to dozens of small
+VPU ops over [K*C, D] arrays that round-trip HBM; at production sizes its
+wall-clock is per-op latency plus a ~48 s XLA compile (rb9), while the live
+state is a few hundred KB.  This kernel keeps the chain state of *every
+model at once* resident in VMEM and runs sweeps as pure VPU arithmetic.
+
+Design (second revision — the first monolithic kernel wedged a v5e on
+hardware contact; see the bring-up notes below):
+
+* **One kernel, all models.**  Chains are vector lanes: the K*C chains
+  (C per model) form one (8, W) lane block, per-model selection is mask
+  arithmetic on ``chain_id // C`` — the same gather-free masked-superblock
+  layout as the fused stage-3 sweep engine (kernels/fused.py), and a
+  single Mosaic compile regardless of K (the first revision compiled one
+  kernel per model and had to cap the family size at 6, which excluded
+  the rb9 family — the reference's largest, userrb9.c:102-141).
+* **Chunked dispatches, no long-running kernel.**  The schedule is split
+  into ~100-sweep segments; each segment is one short ``pallas_call``
+  carrying (theta, logp, sig, accept-counts) in and out.  Telemetry and
+  the thinned-tail stage-2 snapshots are read from the *returned* state
+  at segment boundaries — there are no conditional (``pl.when``) or
+  dynamically-indexed stores inside the kernel at all, and no dispatch
+  runs longer than a few milliseconds.  This is the bring-up discipline
+  for the v5e wedge: the monolithic first revision ran the entire
+  ~11k-sweep schedule in one dispatch with dynamic-index telemetry
+  stores; either could hang Mosaic with no way to observe which.
+* **Pooled adaptation in-kernel.**  The reference's AAP update
+  (automix.c:619,634,638) pools each model's acceptance indicator across
+  its C chains (kernels/rwm.py docstring); here that is one masked
+  lane-reduction per (model, coordinate) per sweep, applied to a
+  per-lane ``sig`` row from the sweep-start value — sweep-for-sweep the
+  same dynamics as ``rwm._build_stage1_core``.
+* **Randomness** is the triple32^lowbias32 counter hash of
+  (seed, global sweep, chain, slot) — every draw is a pure function of
+  the *global* sweep index, so the segmentation is bitwise invisible:
+  any segment split reproduces the same trajectories exactly (tested),
+  and runs are identical between compiled TPU and interpret mode.
+  Streams differ from the XLA path's threefry, so parity with it is
+  statistical (same pooled-adaptation dynamics), which is what the
+  exact-posterior suite checks end to end.
 
 Semantics mirror ``rwm._build_stage1_core`` sweep for sweep: the
-``nsweeps + 10%`` burn schedule, the per-sweep 10% post-burn block move
-coin, sweep-start-sig componentwise proposals with one pooled [dim]
-update per sweep (AAP or log rule), telemetry every 100 sweeps, and the
-thinned-tail snapshot schedule feeding stage 2.  Randomness is the
-triple32^lowbias32 counter hash (seeded per model), so runs are bitwise
-reproducible and identical between compiled TPU and interpret mode; the
-streams differ from the XLA path's threefry, so stage-1 parity with it is
-statistical (same pooled-adaptation dynamics), which is what the
-exact-posterior suite checks end to end.
+``nsweeps + 10%`` burn schedule, the per-sweep 10% post-burn block-move
+coin shared by the whole batch, sweep-start-sig componentwise proposals
+with one pooled [K, D] update per sweep (AAP or log rule), telemetry
+every ~100 sweeps, and the thinned-tail snapshot schedule feeding stage 2
+(automix.c:575-662 for the single-chain original).
 """
 
 from __future__ import annotations
+
 
 import jax
 import jax.numpy as jnp
@@ -33,79 +58,89 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from automix_tpu.config import (EngineConfig, LOG_ACCEPT_CLAMP, NEG_INF,
+from automix_tpu.config import (EngineConfig, LOG_ACCEPT_CLAMP,
                                 RWM_TARGET_ACCEPT)
-from automix_tpu.kernels.fused import _MAX_D, _lowbias32, _triple32, _u01
+from automix_tpu.kernels.fused import (_lowbias32, _triple32, _u01,
+                                       make_logpost_cols)
 
 _U = jnp.uint32
 _TWO_PI = 6.283185307179586
-TELEMETRY_EVERY = 100
 
-# Compiled per-model stage-1 kernels, keyed on the full static schedule +
-# the density function's identity (module-level for the builtin sets, so
-# repeated samplers in one process reuse the compilation).
+# Per-kernel VMEM working-set budget (bytes): live state + random words +
+# density transients, doubled for Mosaic's buffering.  Conservative slice
+# of the 16 MB scoped limit.
+_VMEM_BUDGET = 10 * 1024 * 1024
+_MAX_D_STAGE1 = 16
+# Sweeps per pallas_call segment.  Draws are pure functions of the global
+# sweep index, so trajectories are bitwise invariant to this choice
+# (tests/test_stage1.py::test_fused_stage1_segment_invariance); it only
+# trades dispatch count against per-dispatch length.
+_SEG_DEFAULT = 100
+
+# Compiled segment kernels, keyed on the static configuration (model set,
+# schedule constants, segment length, seed, adaptation rule).
 _KERNEL_CACHE: dict = {}
 
 
-def stage1_eligible(modelset, cfg: EngineConfig, mesh, C: int) -> bool:
-    """The fused stage-1 covers: float32 Gaussian runs, no mesh (stage-1
-    pooling is per model inside ONE lane block), all chains of a model in
-    one block, column-form densities available.
+def _est_tiles(K: int, D: int) -> int:
+    """Rough live-tile count of the sweep body (state carry + random words
+    + masks + density transients)."""
+    return 7 * D + K + 40
 
-    Gated on ``cfg.fused_stage1`` (default "off"), NOT on ``cfg.fused``:
-    the stage-3 fused engine is hardware-proven while this kernel wedged
-    a v5e on first contact (see config.py) — the two must not share an
-    enable switch."""
+
+def stage1_eligible(modelset, cfg: EngineConfig, mesh, C: int) -> bool:
+    """The fused stage-1 covers: float32 Gaussian runs, no mesh (pooling
+    is a lane reduction inside ONE block), column-form densities, and a
+    lane block that fits VMEM.  Gated on ``cfg.fused_stage1`` ("auto" =
+    on real TPU; "on" = forced, interpret mode off-TPU — the test path),
+    NOT on ``cfg.fused``: the two engines are enabled independently."""
     if cfg.fused_stage1 == "off" or mesh is not None:
         return False
     has_cols = (getattr(modelset, "batched_logpost_cols", None) is not None
                 or all(m.logp_cols is not None for m in modelset.models))
     if not (has_cols and cfg.dtype == jnp.float32
-            and cfg.student_t_dof == 0 and modelset.dmax <= _MAX_D):
+            and cfg.student_t_dof == 0
+            and modelset.dmax <= _MAX_D_STAGE1):
         return False
-    if C % 1024 != 0 or C > 4096:
+    K, D = modelset.nmodels, modelset.dmax
+    lanes = K * C
+    if lanes % 8 != 0 or C < 8:
         return False
-    # one Mosaic compile per model: past a handful of models the compile
-    # bill exceeds what the fused run saves over the (already cheap) XLA
-    # stage-1 scan, so large families stay on the XLA path
-    if modelset.nmodels > 6:
+    if _est_tiles(K, D) * 2 * lanes * 4 > _VMEM_BUDGET:
         return False
     if cfg.fused_stage1 == "auto":
         return jax.devices()[0].platform == "tpu"
     return True  # "on": forced (interpret off-TPU)
 
 
-def _branch_for(modelset, k: int):
-    """Column-form density of model k — the per-model logp_cols, or the
-    family kernel specialized with constant one-hot masks — sanitized to
-    a finite range (an unguarded density can overflow to +-inf near the
-    support boundary; 0 * inf in the blended accept update would poison
-    the carried logp even on rejection)."""
-    m = modelset.models[k]
-    if m.logp_cols is not None:
-        dim = m.dim
-        raw = lambda rows: m.logp_cols(rows[:dim])  # noqa: E731
-        key = m.logp_cols
-    else:
-        batched = modelset.batched_logpost_cols
-        K = modelset.nmodels
-        D = modelset.dmax
-        mks = [1.0 if i == k else 0.0 for i in range(K)]
+def _schedule(cfg: EngineConfig, nsweeps: int, C: int, D: int):
+    """Static segment schedule: (total, nburn, seg, n_seg, snap_segs).
 
-        def raw(rows):
-            # the family kernel indexes all dmax coordinate rows; pad the
-            # per-model tuple with zeros (its in_dim masks ignore them)
-            rows = tuple(rows) + (jnp.zeros_like(rows[0]),) * (D - len(rows))
-            return batched(mks, rows)
+    Segments are ``seg`` sweeps (last one possibly shorter — at most two
+    distinct segment lengths, hence at most two Mosaic compiles).
+    Telemetry is read at every segment boundary; the ``n_tail``
+    thinned-tail stage-2 snapshots are the final states of the last
+    ``n_tail`` segments spaced ``ssep`` apart across the post-burn back
+    half (the engine's version of the reference's every-10th-sweep tail
+    thinning, automix.c:642-647).
+    """
+    nburn = nsweeps // 10
+    total = nsweeps + nburn
+    target = cfg.stage1_target_samples or 1000 * D
+    n_tail = -(-target // C)
+    n_tail = max(1, min(n_tail, max(1, (total - nburn) // 2)))
 
-        key = batched
-
-    def branch(rows):
-        lp = raw(rows)
-        lp = jnp.minimum(jnp.maximum(lp, NEG_INF), -NEG_INF)
-        return jnp.where(lp == lp, lp, NEG_INF)     # NaN -> reject
-
-    return branch, key
+    seg = _SEG_DEFAULT
+    # need enough whole segments in the back half for n_tail snapshots
+    while seg > 1 and (total // seg) // 2 < n_tail:
+        seg = max(1, seg // 2)
+    n_seg = -(-total // seg)
+    back = n_seg - max(nburn // seg + 1, n_seg // 2)
+    back = max(back, n_tail)
+    ssep = max(1, back // n_tail)
+    snap_segs = tuple(sorted(n_seg - 1 - i * ssep for i in range(n_tail)))
+    assert snap_segs[0] >= 0
+    return total, nburn, seg, n_seg, snap_segs
 
 
 def run_fused_stage1(modelset, cfg: EngineConfig, nsweeps: int, C: int,
@@ -115,76 +150,129 @@ def run_fused_stage1(modelset, cfg: EngineConfig, nsweeps: int, C: int,
     tele_acc [n_tele, K, D], lp [K, C])`` with the rwm.py layouts
     (padded to dmax, chain-major samples)."""
     K, D = modelset.nmodels, modelset.dmax
+    lanes = K * C
+    W = lanes // 8
+    dims = tuple(int(d) for d in modelset.dims)
+    total, nburn, seg, n_seg, snap_segs = _schedule(cfg, nsweeps, C, D)
     interpret = jax.devices()[0].platform != "tpu"
-    W = C // 8
+    logpost_cols = make_logpost_cols(modelset)
 
-    # schedule constants — mirror rwm._build_stage1_core exactly
-    nburn = nsweeps // 10
-    total = nsweeps + nburn
-    target = cfg.stage1_target_samples or 1000 * D
-    n_tail = -(-target // C)
-    n_tail = max(1, min(n_tail, max(1, (total - nburn) // 2)))
-    stride = max(1, (total - max(nburn, total // 2)) // n_tail)
-    smp_start = total - n_tail * stride
-    n_tele = max(1, total // TELEMETRY_EVERY)
+    # ---- initial state (padded coords: theta 0, sig 0) ------------------
+    # Host-side numpy throughout: every eager device op here would cost a
+    # ~0.35 s mini-compile on TPU (below the persistent-cache threshold),
+    # and ~60 of them were measured to dominate a fresh process's stage-1
+    # wall clock.  Only the initial log-posterior runs on device, as one
+    # cached jit.
+    init_np = np.asarray(init_theta, np.float32)           # [K, D]
+    chain_id = np.arange(lanes, dtype=np.int32).reshape(8, W)
+    model_of = chain_id // C                               # [8, W]
+    th0 = np.stack(
+        [init_np[:, d][model_of] for d in range(D)])       # [D, 8, W]
+    active_np = np.stack(
+        [(np.asarray(dims)[model_of] > d).astype(np.float32)
+         for d in range(D)])                               # [D, 8, W]
+    sig0 = 10.0 * active_np
+    zi = np.zeros((D, 8, W), np.int32)
+    # No logp in the carried state: it is a pure function of theta, and
+    # the kernel recomputes it at every segment start (one extra family
+    # evaluation per ~100 sweeps) — which also means no separate XLA
+    # program just for the initial log-posterior.
+    state = (jnp.asarray(th0), jnp.asarray(sig0),
+             jnp.asarray(zi), jnp.asarray(zi))   # th, sig, nacc, ntry
+    lp_last = None
 
-    init_np = np.asarray(init_theta, np.float32)      # [K, D]
+    # ---- segment loop ---------------------------------------------------
+    # Every segment runs the SAME fixed-length compiled kernel; a shorter
+    # trailing piece masks its surplus sweeps to no-ops via the n_active
+    # scalar, so there is exactly one Mosaic compile per (model set, C).
+    snaps, tele = [], []
+    done = 0
+    seed_eff = (int(cfg.seed) * 1000003 + 777) & 0x7FFFFFFF
+    call = _segment_call(modelset, cfg, logpost_cols, seg, C, W, interpret)
+    for s in range(n_seg):
+        n = min(seg, total - done)
+        *state, lp_last = call(
+            jnp.asarray([done, seed_eff, nburn, n], jnp.int32), *state)
+        done += n
+        tele.append((state[1], state[2], state[3]))
+        if s in snap_segs:
+            snaps.append(state[0])
+    assert done == total
 
-    sig_out = np.zeros((K, D), np.float32)
-    tele_sig_out = np.zeros((n_tele, K, D), np.float32)
-    tele_acc_out = np.zeros((n_tele, K, D), np.float32)
-    samples_out = np.zeros((K, C * n_tail, D), np.float32)
-    lp_out = np.zeros((K, C), np.float32)
+    # ---- assemble outputs (lane layout -> rwm.py layouts) ---------------
+    # One batched device_get, then pure numpy (see the init comment): the
+    # per-model telemetry rows are a few KB, and numpy assembly costs no
+    # device compiles.
+    tele_h, snaps_h, lp_h = jax.device_get((tele, snaps, lp_last))
 
-    for k in range(K):
-        dim = modelset.models[k].dim
-        branch, branch_key = _branch_for(modelset, k)
-        init_vals = tuple(float(x) for x in init_np[k, :dim])
-        cache_key = (id(branch_key), k, dim, C, W, total, nburn, n_tail,
-                     stride, smp_start, n_tele, interpret, init_vals,
-                     int(cfg.seed), cfg.stage1_adapt,
-                     float(cfg.stage1_log_gain))
-        fn = _KERNEL_CACHE.get(cache_key)
-        if fn is None:
-            fn = jax.jit(lambda branch=branch, a=(
-                modelset, cfg, k, dim, C, W, total, nburn, n_tail, stride,
-                smp_start, n_tele, interpret, branch, init_vals):
-                _model_kernel(*a))
-            _KERNEL_CACHE[cache_key] = fn
-        outs = fn()
-        sig_k, tele_s, tele_a, smp, lp = jax.tree.map(np.asarray, outs)
-        sig_out[k, :dim] = sig_k[:dim, 0, 0]
-        tele_sig_out[:, k, :dim] = tele_s[:, :dim, 0, 0]
-        tele_acc_out[:, k, :dim] = tele_a[:, :dim, 0, 0]
-        # [n_tail, dim, 8, W] -> chain-major [C, n_tail, dim] -> flat
-        smp_cm = smp.transpose(2, 3, 0, 1).reshape(C, n_tail, dim)
-        samples_out[k, :, :dim] = smp_cm.reshape(C * n_tail, dim)
-        lp_out[k] = lp.reshape(C)
+    def per_model(x_d8w):
+        """[D, 8, W] lane-replicated per-model rows -> [K, D]."""
+        return np.asarray(x_d8w).reshape(D, lanes)[:, ::C].T
 
-    return (jnp.asarray(sig_out), jnp.asarray(samples_out),
-            jnp.asarray(tele_sig_out), jnp.asarray(tele_acc_out),
-            jnp.asarray(lp_out))
+    coord_active = active_np.reshape(D, lanes)[:, ::C].T > 0   # [K, D]
+    sig = np.where(coord_active, per_model(tele_h[-1][0]), 10.0)
+    tele_sig = np.stack([np.where(coord_active, per_model(t[0]), 10.0)
+                         for t in tele_h])
+    tele_acc = np.stack(
+        [per_model(t[1].astype(np.float32))
+         / np.maximum(per_model(t[2].astype(np.float32)), 1.0)
+         for t in tele_h])
+    # snaps: n_tail x [D, 8, W] -> [K, C, n_tail, D] -> chain-major flat
+    smp = np.stack(snaps_h)                                # [T, D, 8, W]
+    T = smp.shape[0]
+    samples = smp.reshape(T, D, K, C).transpose(2, 3, 0, 1) \
+        .reshape(K, C * T, D)
+    lp = np.asarray(lp_h).reshape(K, C)
+    return (jnp.asarray(sig), jnp.asarray(samples), jnp.asarray(tele_sig),
+            jnp.asarray(tele_acc), jnp.asarray(lp))
 
 
-def _model_kernel(modelset, cfg, k, dim, C, W, total, nburn, n_tail,
-                  stride, smp_start, n_tele, interpret, branch, init_vals):
-    """One model's full stage-1 run as a single pallas_call.  Every
-    argument is static — the kernel is a closed program of the schedule.
-    The engine seed is deliberately baked in as a constant: passing it as
-    a dynamic SMEM scalar was measured to blow the Mosaic compile from
-    ~7s to ~180s (the salt computation stops constant-folding), while a
-    per-seed recompile costs only those ~7s once."""
-    seed_eff = (int(cfg.seed) * 1000003 + 777 + k * 7919) & 0x7FFFFFFF
-    # per-sweep word slots: dim accept-uniforms, 2*dim Box-Muller words
-    NW = 3 * dim
+def _segment_call(modelset, cfg: EngineConfig, logpost_cols, n_sweeps: int,
+                  C: int, W: int, interpret: bool):
+    """Build (or fetch) the compiled segment kernel: ``n_sweeps`` sweeps
+    of the whole family, state carried in and out.
+
+    Everything run-specific — the segment's starting sweep index, the
+    engine seed, the burn-in length, and the number of *active* sweeps
+    (shorter trailing segments mask the surplus to no-ops) — arrives as
+    dynamic SMEM scalars, the same pattern the hardware-proven stage-3
+    kernel uses (kernels/fused.py scal_ref).  A ~35 s Mosaic compile per
+    kernel shape was measured on v5e, so the cache key is deliberately
+    only (model set, C, adaptation rule): one compile, served from the
+    persistent compilation cache across processes, covers every seed,
+    schedule, and segment of that family.
+    """
+    K, D = modelset.nmodels, modelset.dmax
+    dims = tuple(int(d) for d in modelset.dims)
+    key = (id(modelset), K, D, dims, n_sweeps, C, W, interpret,
+           cfg.stage1_adapt, float(cfg.stage1_log_gain))
+    fn = _KERNEL_CACHE.get(key)
+    if fn is not None:
+        return fn
+
     log_rule = cfg.stage1_adapt == "log"
     log_gain = float(cfg.stage1_log_gain)
+    NW = 3 * D               # per-sweep words: D accept-u, 2D Box-Muller
+    inv_c = 1.0 / C
 
-    def kernel(sig_o, tele_sig_o, tele_acc_o, smp_o, lp_o):
+    def kernel(scal_ref, th_ref, sig_ref, nacc_ref, ntry_ref,
+               th_o, sig_o, nacc_o, ntry_o, lp_o):
+        sweep0 = scal_ref[0]
+        seed_dyn = scal_ref[1]
+        nburn = scal_ref[2]
+        n_active = scal_ref[3]
         sub = jax.lax.broadcasted_iota(jnp.int32, (8, W), 0)
         lane = jax.lax.broadcasted_iota(jnp.int32, (8, W), 1)
-        cbase = (sub * W + lane).astype(_U) * _U(NW)
-        seed_u = _U(seed_eff)
+        chain_id = sub * W + lane
+        model_of = chain_id // C
+        mks = [(model_of == m).astype(jnp.float32) for m in range(K)]
+        active = [sum(mks[m] for m in range(K) if dims[m] > d)
+                  for d in range(D)]
+        active_i = [sum((model_of == m).astype(jnp.int32)
+                        for m in range(K) if dims[m] > d)
+                    for d in range(D)]
+        cbase = chain_id.astype(_U) * _U(NW)
+        seed_u = seed_dyn.astype(_U)
 
         def words(t):
             sweep_u = t.astype(_U)
@@ -197,29 +285,34 @@ def _model_kernel(modelset, cfg, k, dim, C, W, total, nburn, n_tail,
             return _triple32(c ^ salt1) ^ _lowbias32(c + salt2)
 
         def block_coin(t):
-            """u < 0.1 as a pure integer compare (Mosaic has no scalar
-            uint->float path): one coin per sweep for the whole block
-            (the single-chain per-sweep coin, automix.c:605-606)."""
+            """u < 0.1 as a pure integer compare (no scalar uint->float
+            path in Mosaic): one coin per sweep for the whole batch (the
+            single-chain per-sweep coin, automix.c:605-606)."""
             h = _triple32((t.astype(_U) * _U(2654435761) + seed_u)
                           ^ _U(0xB5297A4D))
             return (h >> 8) < _U(int(0.1 * 2 ** 24))
 
-        th0 = tuple(jnp.full((8, W), v, jnp.float32) for v in init_vals)
-        lp0 = branch(th0)
-        sig0 = (jnp.float32(10.0),) * dim           # automix.c:595
-        zi32 = jnp.int32(0)
-        nacc0 = (zi32,) * dim
-        ntry0 = (zi32,) * dim
+        th0 = tuple(th_ref[d] for d in range(D))
+        # logp is a pure function of theta: recompute at segment start
+        # rather than carrying it across segment boundaries (bitwise
+        # identical — same code on the same theta — and one less program)
+        lp0 = logpost_cols(mks, th0)
+        sig0 = tuple(sig_ref[d] for d in range(D))
+        nacc0 = tuple(nacc_ref[d] for d in range(D))
+        ntry0 = tuple(ntry_ref[d] for d in range(D))
 
         def body(t_rel, carry):
             th, lp, sig, nacc, ntry = carry
-            t = t_rel + 1                            # 1-based sweep index
+            t = sweep0 + t_rel + 1               # 1-based global sweep
+            # surplus sweeps of a short trailing segment are full no-ops
+            live_f = (t_rel < n_active).astype(jnp.float32)
+            live_i = (t_rel < n_active).astype(jnp.int32)
             w = words(t)
-            u = [_u01(w[j]) for j in range(dim)]
+            u = [_u01(w[j]) for j in range(D)]
             z = []
-            for j in range(dim):
-                u1 = _u01(w[dim + j])
-                u2 = _u01(w[2 * dim + j])
+            for j in range(D):
+                u1 = _u01(w[D + j])
+                u2 = _u01(w[2 * D + j])
                 r = jnp.sqrt(-2.0 * jnp.log1p(-u1))
                 z.append(r * jnp.cos(_TWO_PI * u2))
 
@@ -227,90 +320,97 @@ def _model_kernel(modelset, cfg, k, dim, C, W, total, nburn, n_tail,
 
             def block_move(args):
                 th, lp, sig, nacc, ntry = args
-                prop = tuple(th[j] + sig[j] * z[j] for j in range(dim))
-                lpn = branch(prop)
-                # select, never blend (0 * inf on rejected non-finite
-                # proposals would poison the carry)
-                acc = u[0] < jnp.exp(jnp.clip(lpn - lp, LOG_ACCEPT_CLAMP,
-                                              0.0))
-                th = tuple(jnp.where(acc, prop[j], th[j])
-                           for j in range(dim))
-                lp = jnp.where(acc, lpn, lp)
+                # sig rows are 0 on padded coords, so padded coords stay
+                # exactly at their init (the masked proposal of rwm.block)
+                prop = tuple(th[d] + sig[d] * z[d] for d in range(D))
+                lpn = logpost_cols(mks, prop)
+                accf = (u[0] < jnp.exp(jnp.clip(
+                    lpn - lp, LOG_ACCEPT_CLAMP, 0.0))).astype(
+                    jnp.float32) * live_f
+                th = tuple(th[d] + accf * (prop[d] - th[d])
+                           for d in range(D))
+                lp = lp + accf * (lpn - lp)
                 return th, lp, sig, nacc, ntry
 
             def comp_move(args):
                 th, lp, sig, nacc, ntry = args
+                acc_tiles = []
+                for j in range(D):
+                    prop = tuple(th[d] + (sig[j] * z[j] if d == j else 0.0)
+                                 for d in range(D))
+                    lpn = logpost_cols(mks, prop)
+                    accf = ((u[j] < jnp.exp(jnp.clip(
+                        lpn - lp, LOG_ACCEPT_CLAMP, 0.0)))
+                        .astype(jnp.float32)) * active[j] * live_f
+                    th = tuple(th[d] + (accf * (prop[j] - th[j])
+                                        if d == j else 0.0)
+                               for d in range(D))
+                    lp = lp + accf * (lpn - lp)
+                    acc_tiles.append(accf)
+                # one pooled [K, D] update per sweep from sweep-start sig
+                # (rwm.componentwise; automix.c:619,634,638)
                 gamma = jnp.exp((-2.0 / 3.0)
                                 * jnp.log(t.astype(jnp.float32) + 1.0))
-                cnt = []
-                for j in range(dim):
-                    prop = tuple(th[d] + (sig[j] * z[j] if d == j else 0.0)
-                                 for d in range(dim))
-                    lpn = branch(prop)
-                    acc = u[j] < jnp.exp(
-                        jnp.clip(lpn - lp, LOG_ACCEPT_CLAMP, 0.0))
-                    th = tuple(jnp.where(acc, prop[d], th[d])
-                               for d in range(dim))
-                    lp = jnp.where(acc, lpn, lp)
-                    cnt.append(jnp.sum(acc.astype(jnp.int32)))
-                # one pooled [dim] update per sweep from sweep-start sig
-                # (rwm.py componentwise; automix.c:619,634,638 pooled)
-                new_sig = []
-                for j in range(dim):
-                    err = cnt[j].astype(jnp.float32) / C - RWM_TARGET_ACCEPT
+                new_sig, new_nacc, new_ntry = [], [], []
+                for j in range(D):
+                    delta = None
+                    cnt_lane = None
+                    for m in range(K):
+                        if dims[m] <= j:
+                            continue
+                        cnt = jnp.sum(acc_tiles[j] * mks[m])  # scalar
+                        # live_f: a masked surplus sweep must not adapt
+                        # (its cnt is 0, which would read as err=-0.25)
+                        err = (cnt * inv_c - RWM_TARGET_ACCEPT) * live_f
+                        dm = mks[m] * err
+                        delta = dm if delta is None else delta + dm
+                        cm = mks[m] * cnt
+                        cnt_lane = cm if cnt_lane is None else cnt_lane + cm
+                    if delta is None:          # no model reaches coord j
+                        new_sig.append(sig[j])
+                        new_nacc.append(nacc[j])
+                        new_ntry.append(ntry[j])
+                        continue
                     if log_rule:
-                        new_sig.append(sig[j] * jnp.exp(
-                            log_gain * gamma * err))
+                        new_sig.append(sig[j]
+                                       * jnp.exp(log_gain * gamma * delta))
                     else:
                         new_sig.append(jnp.maximum(
-                            sig[j] + 10.0 * gamma * err, 0.0))
-                nacc = tuple(nacc[j] + cnt[j] for j in range(dim))
-                ntry = tuple(ntry[j] + jnp.int32(C) for j in range(dim))
-                return th, lp, tuple(new_sig), nacc, ntry
+                            sig[j] + 10.0 * gamma * delta, 0.0))
+                    new_nacc.append(nacc[j] + cnt_lane.astype(jnp.int32))
+                    new_ntry.append(ntry[j] + active_i[j] * (C * live_i))
+                return (th, lp, tuple(new_sig), tuple(new_nacc),
+                        tuple(new_ntry))
 
-            th, lp, sig, nacc, ntry = jax.lax.cond(
-                do_block, block_move, comp_move, (th, lp, sig, nacc, ntry))
-
-            # telemetry every 100 sweeps (automix.c:648-655)
-            t_idx = jnp.minimum(t // TELEMETRY_EVERY, n_tele - 1)
-
-            @pl.when(t % TELEMETRY_EVERY == 0)
-            def _():
-                for j in range(dim):
-                    ratio = (nacc[j].astype(jnp.float32)
-                             / jnp.maximum(ntry[j].astype(jnp.float32),
-                                           1.0))
-                    tele_sig_o[t_idx, j] = jnp.full((8, W), sig[j])
-                    tele_acc_o[t_idx, j] = jnp.full((8, W), ratio)
-
-            # thinned-tail snapshot (automix.c:642-647; rwm.py schedule)
-            do_smp = (t > smp_start) & (((t - smp_start) % stride) == 0)
-            s_idx = jnp.clip((t - smp_start) // stride - 1, 0, n_tail - 1)
-
-            @pl.when(do_smp)
-            def _():
-                for j in range(dim):
-                    smp_o[s_idx, j] = th[j]
-
-            return th, lp, sig, nacc, ntry
+            return jax.lax.cond(do_block, block_move, comp_move,
+                                (th, lp, sig, nacc, ntry))
 
         th, lp, sig, nacc, ntry = jax.lax.fori_loop(
-            0, total, body, (th0, lp0, sig0, nacc0, ntry0))
-        for j in range(dim):
-            sig_o[j] = jnp.full((8, W), sig[j])
+            0, n_sweeps, body, (th0, lp0, sig0, nacc0, ntry0))
+        for d in range(D):
+            th_o[d] = th[d]
+            sig_o[d] = sig[d]
+            nacc_o[d] = nacc[d]
+            ntry_o[d] = ntry[d]
         lp_o[:] = lp
 
     vm = pl.BlockSpec(memory_space=pltpu.VMEM)
+    sm = pl.BlockSpec(memory_space=pltpu.SMEM)
     f32 = jnp.float32
-    return pl.pallas_call(
+    i32 = jnp.int32
+    call = pl.pallas_call(
         kernel,
+        in_specs=[sm, vm, vm, vm, vm],
         out_shape=[
-            jax.ShapeDtypeStruct((dim, 8, W), f32),            # sig
-            jax.ShapeDtypeStruct((n_tele, dim, 8, W), f32),    # tele_sig
-            jax.ShapeDtypeStruct((n_tele, dim, 8, W), f32),    # tele_acc
-            jax.ShapeDtypeStruct((n_tail, dim, 8, W), f32),    # samples
-            jax.ShapeDtypeStruct((8, W), f32),                 # final lp
+            jax.ShapeDtypeStruct((D, 8, W), f32),       # theta
+            jax.ShapeDtypeStruct((D, 8, W), f32),       # sig
+            jax.ShapeDtypeStruct((D, 8, W), i32),       # nacc
+            jax.ShapeDtypeStruct((D, 8, W), i32),       # ntry
+            jax.ShapeDtypeStruct((8, W), f32),          # final logp
         ],
         out_specs=[vm, vm, vm, vm, vm],
         interpret=interpret,
-    )()
+    )
+    fn = jax.jit(call)
+    _KERNEL_CACHE[key] = fn
+    return fn

@@ -99,11 +99,6 @@ def test_fused_stage1_interpret_matches_xla_path():
     *statistics*: same adapted scales and the same stage-2 sample
     distribution per model (streams differ — threefry vs counter hash —
     so parity is statistical, fused_stage1.py module docstring).
-
-    The fused kernel is opt-in (config.py fused_stage1='off' default)
-    after wedging a v5e on first hardware contact; this test pins the
-    semantics so a future hardware shakedown only has to debug the
-    Mosaic compile, not the algorithm.
     """
     from automix_tpu.models.tutorial import tutorial_set
     sig_by_path, mom_by_path = {}, {}
@@ -122,3 +117,40 @@ def test_fused_stage1_interpret_matches_xla_path():
         np.testing.assert_allclose(
             mom_by_path["on"][which], mom_by_path["off"][which],
             rtol=0.25, atol=0.15)
+
+def test_fused_stage1_segment_invariance(monkeypatch):
+    """The fused stage-1 splits the schedule into ~100-sweep pallas_call
+    segments; every random word is a pure function of the *global* sweep
+    index, so the segmentation must be bitwise invisible.  Run the same
+    schedule with two different segment lengths and require identical
+    final scales, log-posteriors, and telemetry-independent state."""
+    from automix_tpu.kernels import fused_stage1
+    from automix_tpu.models.tutorial import tutorial_set
+
+    outs = {}
+    for seg in (100, 37):
+        monkeypatch.setattr(fused_stage1, "_SEG_DEFAULT", seg)
+        fused_stage1._KERNEL_CACHE.clear()
+        ms = tutorial_set()
+        cfg = EngineConfig(n_chains_stage1=256, stage1_sweeps=300,
+                           seed=11, fused_stage1="on")
+        sig, smp, tele = rwm.run_stage1(ms, cfg, jax.random.PRNGKey(0), 300)
+        outs[seg] = (np.asarray(sig), np.asarray(tele["final_logp"]))
+    np.testing.assert_array_equal(outs[100][0], outs[37][0])
+    np.testing.assert_array_equal(outs[100][1], outs[37][1])
+
+
+def test_fused_stage1_padded_coords_stay_zero():
+    """Mixed-dimension family through the fused kernel: padded sample
+    coords exactly 0, padded sig coords at their 10.0 init, real coords
+    adapted (the masking path that the per-model coord_active extraction
+    must get right)."""
+    from automix_tpu.models.toy import toy1_set
+    ms = toy1_set()
+    cfg = EngineConfig(n_chains_stage1=256, stage1_sweeps=400, seed=5,
+                       fused_stage1="on")
+    sig, samples, _ = rwm.run_stage1(ms, cfg, jax.random.PRNGKey(0), 400)
+    assert np.all(np.asarray(samples[0, :, 1:]) == 0.0)
+    assert np.all(np.asarray(sig[0, 1:]) == 10.0)
+    # both real coords of the 2-D model must have moved off the 10.0 init
+    assert float(sig[1, 1]) != 10.0
