@@ -97,6 +97,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="fused Pallas stage-1 kernel "
                         "(kernels/fused_stage1.py): auto selects it on TPU "
                         "when eligible")
+    p.add_argument("--trace-every", type=int, default=1,
+                   help="record per-sweep traces every Nth sweep; with "
+                        "N > 1 traced runs stay on the fused engine "
+                        "(boundary snapshots, config.py trace_every)")
     p.add_argument("--platform", default=None,
                    help="force a jax platform (cpu/tpu)")
     p.add_argument("--no-reports", action="store_true",
@@ -142,6 +146,7 @@ def main(argv=None):
         n_chains_stage1=args.chains_stage1,
         fused=args.fused,
         fused_stage1=args.fused_stage1,
+        trace_every=args.trace_every,
     )
     modelset = _resolve_problem(args.problem)()
     am = AMSampler(modelset, cfg)

@@ -138,6 +138,13 @@ class EngineConfig:
     # Record chain 0's pk / logp / theta trace every sweep (parity with
     # _pk.data/_lp.data/_theta<k>.data writers, logwrite.c:162-220).
     trace_chain0: bool = True
+    # Trace decimation stride: record the per-sweep traces every Nth sweep
+    # instead of every sweep.  With stride 1 (exact reference parity)
+    # trace collection runs on the XLA engine; with stride > 1 the fused
+    # Pallas engine runs in stride-length chunks and traces are boundary
+    # snapshots — the same thinning idea the reference applies to its
+    # Sokal series (nsokal, automix.c:122-124), extended to all traces.
+    trace_every: int = 1
     # Per-sweep randomness source for stage 3: "fast" (fused avalanche
     # counter hash, ops/randoms.py — bitwise sharding-invariant, ~3x
     # cheaper than threefry on the hot path), "threefry" (counter-based
@@ -204,5 +211,7 @@ class EngineConfig:
                 "student_t_dof=0")
         if self.n_chains < 1:
             raise ValueError("n_chains must be >= 1")
+        if self.trace_every < 1:
+            raise ValueError("trace_every must be >= 1")
         if self.student_t_dof < 0:
             raise ValueError("student_t_dof must be >= 0")

@@ -45,10 +45,13 @@ Randomness: two in-kernel sources, selected statically.
 
 Eligibility is checked by :func:`fused_eligible`; the sampler falls back
 to the XLA chunk runner for anything the kernel does not cover (per-sweep
-traces, Student-t latents, HMC moves, pooled pk, K*L*D unrolls beyond the
-VMEM/trace budget).  Meshes ARE covered: under ``shard_map`` each shard
-runs its own blocks with globally-indexed RNG streams and the chunk
-statistics reduce with one psum.
+traces at stride 1 — decimated traces run fused, config.trace_every —
+Student-t latents, HMC moves, pooled pk beyond one lane block, K*L*D
+unrolls beyond the VMEM/trace budget).  Pooled pk IS covered when all
+chains fit one lane block (the global-histogram update becomes a cross-
+lane reduction).  Meshes ARE covered: under ``shard_map`` each shard runs
+its own blocks with globally-indexed RNG streams and the chunk statistics
+reduce with one psum.
 """
 
 from __future__ import annotations
@@ -169,6 +172,13 @@ def make_logpost_cols(modelset):
     return logpost_cols
 
 
+def _est_tiles(K: int, L: int, D: int) -> int:
+    """Estimated live per-lane float32 tiles of the sweep body (used for
+    VMEM-aware block sizing and the pooled-pk single-block check)."""
+    return (K * L * D + 2 * K * D + 2 * K + 3 * D
+            + (3 * D + 2 * L + K + 1) + 60)
+
+
 def fused_supported(modelset, cfg: EngineConfig) -> bool:
     """Static feature check (independent of proposal size / call mode)."""
     has_cols = (getattr(modelset, "batched_logpost_cols", None) is not None
@@ -178,7 +188,7 @@ def fused_supported(modelset, cfg: EngineConfig) -> bool:
         and cfg.dtype == jnp.float32
         and cfg.student_t_dof == 0
         and cfg.within_move == "rwm"
-        and cfg.pk_mode == "per_chain"
+        and cfg.pk_mode in ("per_chain", "pooled")
         and modelset.dmax <= _MAX_D
     )
 
@@ -199,6 +209,16 @@ def fused_eligible(modelset, cfg: EngineConfig, collect: bool, mesh,
     K, D = modelset.nmodels, modelset.dmax
     if K * max(lmax, 1) * D > _MAX_KLD:
         return False
+    if cfg.pk_mode == "pooled":
+        # The shared pk updates from the global per-sweep visit histogram
+        # (automix.c:1258-1267); inside the kernel that is a cross-lane
+        # reduction, which only sees the whole chain population when all
+        # chains live in ONE lane block on one shard.
+        S_local = cfg.n_chains
+        if (mesh is not None
+                or choose_block(S_local, _est_tiles(K, max(lmax, 1), D))
+                != S_local):
+            return False
     if cfg.fused == "auto":
         return jax.devices()[0].platform == "tpu"
     return True  # "on": forced (interpret off-TPU)
@@ -249,11 +269,16 @@ def build_fused_chunk_runner(modelset, cfg: EngineConfig, burning: bool,
             idx = jnp.where(better, i, idx)
         return idx
 
+    pooled_pk = cfg.pk_mode == "pooled"
+
     @functools.lru_cache(maxsize=None)
     def _compiled(n_sweeps: int, L: int, S: int):
-        n_tiles = (K * L * D + 2 * K * D + 2 * K + 3 * D
-                   + (3 * D + 2 * L + K + 1) + 60)
-        BLK = choose_block(S, n_tiles)
+        BLK = choose_block(S, _est_tiles(K, L, D))
+        if pooled_pk and BLK != S:
+            raise ValueError(
+                f"pooled pk needs all {S} chains in one lane block "
+                f"(got block {BLK}); fused_eligible should have routed "
+                "this run to the XLA engine")
         W = BLK // 8
         G = S // BLK
         G8 = G * 8
@@ -576,7 +601,15 @@ def build_fused_chunk_runner(modelset, cfg: EngineConfig, burning: bool,
                     gamma = jnp.exp((-2.0 / 3.0) * jnp.log(tf + 1.0))
                     newpk = []
                     for m in range(K):
-                        oh = (kk == m).astype(jnp.float32)
+                        if pooled_pk:
+                            # shared pk from the global visit histogram
+                            # (rjmcmc.py pooled branch): a scalar cross-
+                            # lane fraction — valid because BLK == S, so
+                            # this block IS the whole population
+                            oh = jnp.sum((kk == m).astype(jnp.float32)) \
+                                * np.float32(1.0 / BLK)
+                        else:
+                            oh = (kk == m).astype(jnp.float32)
                         newpk.append(pk[m] + gamma * (oh - pk[m]))
                     reinit = newpk[0] < pkl
                     for m in range(1, K):

@@ -236,23 +236,27 @@ def _make_logp(data, design, fixed, d_re, n_fix, c_prior, dmin1, r_diag,
     return logp
 
 
-def _make_batched_logpost(data, dtype, interpret):
-    """Fused batched log-posterior ``(k [S], theta [S, 16]) -> [S]``.
+def _make_batched_logpost(data, dtype):
+    """Fast batched log-posterior ``(k [S], theta [S, 16]) -> [S]``.
 
-    The likelihood runs in the fused Pallas kernel (models/ddi_pallas.py);
-    the chain-dependent prep stays in plain JAX but *batched and
-    closed-form*: V = precision^{-1} via the 2x2/3x3 adjugate (elementwise
-    over chains — no per-chain linalg), positive-definiteness via leading
-    principal minors (Sylvester), and the same prior expressions as the
+    The likelihood is the sufficient-statistic class form
+    (models/ddi_stats.py): one [S, F] x [F, 15*(1+ntri)] matmul of the
+    quadratic alpha-features against a static table plus closed-form
+    2x2/3x3 Woodbury algebra vectorized over the 15 visit-pattern classes
+    — no patient axis at all.  The chain-dependent prep stays in plain
+    JAX, batched and closed-form: positive-definiteness via leading
+    principal minors (Sylvester) and the same prior expressions as the
     scalar path.  Both models are evaluated for every chain (the dense-
     batch contract of ModelSet.logpost_batch) and selected by k.
     """
-    from automix_tpu.models.ddi_pallas import build_ddi_llh
+    from automix_tpu.models import ddi_stats
 
-    llh0 = build_ddi_llh(data["W"], data["X"], data["Y"], data["visit_mask"],
-                         data["S"], dtype=dtype, interpret=interpret)
-    llh1 = build_ddi_llh(data["Q"], data["P"], data["Y"], data["visit_mask"],
-                         data["S"], dtype=dtype, interpret=interpret)
+    tab0 = ddi_stats.build_class_tables(
+        data["W"], data["X"], data["Y"], data["visit_mask"], data["S"])
+    tab1 = ddi_stats.build_class_tables(
+        data["Q"], data["P"], data["Y"], data["visit_mask"], data["S"])
+    llh0 = ddi_stats.build_llh(tab0, dtype=dtype)
+    llh1 = ddi_stats.build_llh(tab1, dtype=dtype)
 
     def prior_common(fx, c_prior, dmin1, r_diag_diag, log_det_prec, var,
                      d_re, n_fix, wish_const):
@@ -285,20 +289,15 @@ def _make_batched_logpost(data, dtype, interpret):
         det = a * (c * f - e * e) - b * (b * f - e * d) + d * (b * e - c * d)
         posdef = (a > 0.0) & (m2 > 0.0) & (det > 0.0)
         dsafe = jnp.where(posdef, det, 1.0)
-        inv = 1.0 / dsafe
-        v00 = (c * f - e * e) * inv
-        v01 = (d * e - b * f) * inv
-        v02 = (b * e - c * d) * inv
-        v11 = (a * f - d * d) * inv
-        v12 = (b * d - a * e) * inv
-        v22 = m2 * inv
-        v_vec = jnp.stack(
-            [v00, v01, v02, v01, v11, v12, v02, v12, v22], axis=1)
         log_det_prec = jnp.log(dsafe)
         rdd = r0[0] * a + r0[1] * c + r0[2] * f
         lp, ok = prior_common(fx, C0, D0MIN1, rdd, log_det_prec, var,
                               3, 9, wish0)
-        llh = llh0(v_vec, var, fx)
+        vsafe = jnp.where(ok, var, 1.0)
+        # packed upper-tri of the precision in the tables' (a<=b) order:
+        # theta packs the lower triangle row-wise (userddi.c:271-276)
+        prec_tri = jnp.stack([a, b, d, c, e, f], axis=1)
+        llh = llh0(prec_tri, vsafe, fx, log_det_prec)
         good = ok & posdef & jnp.isfinite(llh)
         return jnp.where(good, lp + llh, REJECT)
 
@@ -309,14 +308,13 @@ def _make_batched_logpost(data, dtype, interpret):
         det = a * c - b * b
         posdef = (a > 0.0) & (det > 0.0)
         dsafe = jnp.where(posdef, det, 1.0)
-        inv = 1.0 / dsafe
-        v_vec = jnp.stack(
-            [c * inv, -b * inv, -b * inv, a * inv], axis=1)
         log_det_prec = jnp.log(dsafe)
         rdd = r1[0] * a + r1[1] * c
         lp, ok = prior_common(fx, C1, D1MIN1, rdd, log_det_prec, var,
                               2, 6, wish1)
-        llh = llh1(v_vec, var, fx)
+        vsafe = jnp.where(ok, var, 1.0)
+        prec_tri = jnp.stack([a, b, c], axis=1)
+        llh = llh1(prec_tri, vsafe, fx, log_det_prec)
         good = ok & posdef & jnp.isfinite(llh)
         return jnp.where(good, lp + llh, REJECT)
 
@@ -330,9 +328,11 @@ def _make_batched_logpost(data, dtype, interpret):
 
 
 def ddi_set(dtype=jnp.float32, fused="auto", **kw) -> ModelSet:
-    """``fused``: use the Pallas fused-likelihood batched path for the hot
-    loop ("auto": only on TPU backends; True forces it, interpreting the
-    kernel off-TPU — slow, for parity tests; False: vmapped lax.switch)."""
+    """``fused``: use the sufficient-statistic batched path
+    (models/ddi_stats.py) for the hot loop.  Pure XLA, so "auto" enables
+    it on every backend; False keeps the vmapped lax.switch over the
+    entry-wise scalar densities (the oracle-verified source of truth,
+    used for parity tests and HMC gradients)."""
     data = _load_data()
 
     logp0 = _make_logp(data, data["W"], data["X"], d_re=3, n_fix=9,
@@ -349,11 +349,10 @@ def ddi_set(dtype=jnp.float32, fused="auto", **kw) -> ModelSet:
     init1 = np.concatenate([C1, [1.0, 0.0, 1.0], [100.0]])
 
     if fused == "auto":
-        fused = jax.default_backend() == "tpu"
+        fused = True
     batched = None
     if fused:
-        interpret = jax.default_backend() != "tpu"
-        batched = _make_batched_logpost(data, dtype, interpret)
+        batched = _make_batched_logpost(data, dtype)
 
     return ModelSet([
         Model("ddi_full", 16, logp0, init=init0),

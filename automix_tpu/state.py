@@ -117,6 +117,11 @@ class RunStats:
         self.ntrytd = 0
         self.nsweeps = 0
         self.n_chains = 0
+        # Sweeps between recorded trace entries (1 = every sweep; > 1 when
+        # the fused engine records decimated boundary snapshots — see
+        # config.trace_every).  Sokal tau computed on the thinned series
+        # must be scaled by this to be in sweep units.
+        self.trace_stride = 1
         # Per-sweep traces (lists of numpy chunks, concatenated on demand).
         self._k_trace = []       # [nsweep_chunk, n_trace] int8/int32
         self._pk_trace = []      # [nsweep_chunk, K] chain-0 pk

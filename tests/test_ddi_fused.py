@@ -1,6 +1,6 @@
-"""Parity of the fused Pallas DDI likelihood path against the vmapped
+"""Parity of the sufficient-statistic DDI likelihood path (models/ddi_stats.py) against the vmapped
 lax.switch source of truth (which is itself oracle-verified pointwise in
-test_models_oracle.py).  Runs the kernel in interpret mode on CPU."""
+test_models_oracle.py)."""
 
 import jax.numpy as jnp
 import numpy as np

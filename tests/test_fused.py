@@ -258,3 +258,51 @@ def test_fused_single_model():
     std = stats.theta_std()[0, 0]
     assert abs(mean - 0.5) < 0.05
     assert abs(std - float(np.sqrt(0.05))) < 0.05
+
+
+def test_fused_pooled_pk_matches_xla():
+    """pk_mode='pooled' through the fused kernel (single lane block, the
+    global-histogram update in-kernel) samples the same posterior as the
+    XLA pooled path — the configuration the heavy-model parity tests use
+    (VERDICT r3: the proven config and the fast config must be the same
+    config)."""
+    out = {}
+    for mode in ("on", "off"):
+        am = _mk_sampler(toy.toy1_set, fused=mode, seed=7,
+                         pk_mode="pooled")
+        am.estimate_conditional_probs()
+        am.burn_samples(100)
+        stats = am.rjmcmc_samples(400, collect=False)
+        out[mode] = stats.model_probs
+    for mode, probs in out.items():
+        assert abs(probs[0] - toy.TOY1_MODEL_PROBS[0]) < 0.08, (mode, probs)
+    assert abs(out["on"][0] - out["off"][0]) < 0.08
+
+
+def test_fused_pooled_pk_eligibility():
+    ms = tutorial_set()
+    # single lane block: eligible
+    cfg = EngineConfig(n_chains=1024, fused="on", pk_mode="pooled")
+    assert fused.fused_eligible(ms, cfg, collect=False, mesh=None, lmax=5)
+    # more chains than one block can hold: the global histogram cannot be
+    # reduced in-kernel -> XLA path
+    cfg_big = EngineConfig(n_chains=32768, fused="on", pk_mode="pooled")
+    assert not fused.fused_eligible(ms, cfg_big, False, None, 5)
+
+
+def test_fused_decimated_traces():
+    """collect=True with trace_every > 1 runs the fused engine and records
+    boundary-snapshot traces: ceil(n / stride) entries, stride recorded on
+    the stats for Sokal scaling, aggregate statistics still exact."""
+    am = _mk_sampler(tutorial_set, trace_chain0=True, trace_every=5,
+                     n_trace_chains=4)
+    am.estimate_conditional_probs()
+    am.burn_samples(60)
+    stats = am.rjmcmc_samples(200, collect=True)
+    assert stats.trace_stride == 5
+    assert stats.ksummary.sum() == 1024 * 200       # aggregates: every sweep
+    k_tr = stats.k_trace
+    assert k_tr.shape == (40, 4), k_tr.shape        # traces: every 5th
+    assert stats.pk_trace.shape == (40, 3)
+    assert stats.logp_trace.shape == (40,)
+    assert np.all(np.isfinite(stats.logp_trace))
