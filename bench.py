@@ -7,11 +7,11 @@ the quantity SURVEY.md section 3.3 marks as the metric loop, and the axis
 (many parallel chains) on which this engine scales where the reference
 cannot (single chain, automix.c:90-125).
 
-Baseline: the reference C library runs the *same* tutorial target at
-906,047 stage-3 sweeps/s single-threaded (cc -O3, measured on this image's
-host CPU via a harness linking /root/reference's libautomix: 210,000
-burn+main sweeps in 0.232 s self-timed with clock()).  vs_baseline is
-aggregate engine throughput over that number.
+Baseline: the reference C library's stage-3 throughput on the *same*
+tutorial target, measured **in-situ** at bench time by building the
+reference's own libautomix at -O3 with the harness in bench/c_baseline.c
+(cached in bench/c_baseline_measured.json; ~1.26M sweeps/s on this image's
+host CPU).  vs_baseline is aggregate engine throughput over that number.
 
 On TPU the sampler auto-selects the fused Pallas sweep engine
 (kernels/fused.py — whole chunks in one kernel, chain state in VMEM),
@@ -28,7 +28,17 @@ import time
 import jax
 import numpy as np
 
-C_REFERENCE_SWEEPS_PER_S = 906_047.0
+
+def c_reference_sweeps_per_s() -> float:
+    """In-situ C baseline (bench/measure_c_baseline.py); falls back to the
+    committed measurement if the reference tree or compiler is missing."""
+    import sys
+    sys.path.insert(0, "bench")
+    from measure_c_baseline import measure
+    m = measure()
+    print(f"# C baseline: {m['sweeps_per_s']:.3e} sweeps/s "
+          f"({m['source']})", file=sys.stderr)
+    return float(m["sweeps_per_s"])
 
 # Published reference posteriors for the tutorial target
 # (reference docs/tutorial.rst:255-259) — used as a parity guard.
@@ -71,7 +81,7 @@ def main():
         "metric": "aggregate RJMCMC stage-3 sweeps/s (tutorial target)",
         "value": round(value, 1),
         "unit": "sweeps/s",
-        "vs_baseline": round(value / C_REFERENCE_SWEEPS_PER_S, 3),
+        "vs_baseline": round(value / c_reference_sweeps_per_s(), 3),
     }))
 
 

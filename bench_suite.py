@@ -34,13 +34,33 @@ import numpy as np
 
 # Chip peaks for roofline placement.
 CHIP_PEAKS = {
-    # device_kind prefix: (peak FLOP/s dense fp32-accumulated, HBM B/s)
-    # TPU v5e (v5 lite): 197 TFLOP/s bf16, 16 GB HBM at 819 GB/s.
-    "TPU v5 lite": (197e12, 819e9),
-    "TPU v5": (459e12, 1228e9),       # v5p
-    "TPU v4": (275e12, 1228e9),
-    "cpu": (5e11, 5e10),              # order-of-magnitude host numbers
+    # device_kind prefix: (peak FLOP/s dense fp32-accumulated, HBM B/s,
+    #                      VPU vector-op/s)
+    # TPU v5e (v5 lite): 197 TFLOP/s bf16 MXU, 16 GB HBM at 819 GB/s.
+    # VPU: (8 sublanes x 128 lanes) x 4 ALUs x ~0.94 GHz ~= 3.9e12
+    # vector-op/s per core (the scaling-book TPU chapter's VPU shape); the
+    # sweep kernels never touch the MXU (tiny dims, no matmuls), so the
+    # VPU number is the binding compute ceiling for the fused engine.
+    "TPU v5 lite": (197e12, 819e9, 3.9e12),
+    "TPU v5": (459e12, 1228e9, 7.4e12),       # v5p (2 cores/chip)
+    "TPU v4": (275e12, 1228e9, 7.4e12),
+    "cpu": (5e11, 5e10, 5e11),    # order-of-magnitude host numbers
 }
+
+_ORACLE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "tests", "data", "heavy_oracle.json")
+
+
+def parity_reference(target):
+    """Posterior model probabilities the bench run must reproduce:
+    published tutorial posteriors (docs/tutorial.rst:255-259) or the C
+    oracle means captured from the reference binaries (amrb9/amddi,
+    tests/data/heavy_oracle.json)."""
+    if target == "tutorial":
+        return np.array([0.7928, 0.0239, 0.1834])
+    with open(_ORACLE_PATH) as f:
+        oracle = json.load(f)
+    return np.asarray(oracle[target]["mean"])
 
 
 def chip_peaks(dev):
@@ -78,14 +98,78 @@ def build_sampler(target, n_chains, seed=0):
     return AMSampler(ms, cfg)
 
 
+def count_logp_eqns(modelset):
+    """Vector-op estimate of ONE fused family log-density evaluation: the
+    jaxpr equation count of ``make_logpost_cols`` traced at scalar shapes
+    (inside the kernel each equation lowers to ~one VPU op per lane)."""
+    import jax
+    import jax.numpy as jnp
+
+    from automix_tpu.kernels.fused import make_logpost_cols
+
+    K, D = modelset.nmodels, modelset.dmax
+    f = make_logpost_cols(modelset)
+    z = jnp.float32(0.0)
+    jaxpr = jax.make_jaxpr(lambda mks, rows: f(list(mks), list(rows)))(
+        (z,) * K, (z,) * D)
+    return len(jaxpr.jaxpr.eqns)
+
+
+def fused_cost_model(am, L):
+    """Analytic roofline model of the fused sweep kernel (kernels/fused.py).
+
+    XLA's ``cost_analysis`` cannot see inside a ``pallas_call``, so flops
+    and HBM bytes come from the kernel's own static structure:
+
+    * vector ops / (chain x sweep): the Python-unrolled triangular matvecs
+      of forward allocation, de-standardization and reverse allocation
+      (the K*L*D^2 core), the within-model move, latent/Jacobian math, pk
+      adaptation, chunk statistics, random-word hashing, plus the family
+      log-density evaluations counted by jaxpr size.  Transcendentals
+      count as one op, so the achieved-VPU number is a floor.
+    * HBM bytes / chunk: one chain-state read + write per *chunk*, the
+      per-lane statistics outputs, and the proposal tables once per grid
+      block — by design none of it scales with n_sweeps (the reason the
+      fused engine exists; kernels/fused.py module docstring).
+
+    Returns ``(vector_ops_per_chain_sweep, hbm_bytes_per_chunk)``.
+    """
+    ms = am.modelset
+    cfg = am.cfg
+    K, D = ms.nmodels, ms.dmax
+    dims = [int(d) for d in ms.dims]
+    S = cfg.n_chains
+    tri = sum(L * (d * (d + 1) // 2) for d in dims)  # masked triangles
+    lin = sum(L * d for d in dims)
+    # family-density calls/sweep: componentwise move = D calls on 9/10
+    # sweeps, block move = 1 on the rest, + 1 for the RJ destination.
+    n_lp = 0.9 * D + 0.1 + 1.0
+    nw = 4 * D + 2 * L + K + 1 + (D if cfg.perm else 0)
+    ops = (
+        2 * (2 * tri + lin)        # fwd + reverse allocation (FMA + quad)
+        + 2 * (tri + lin)          # de-standardize matvec
+        + 2 * lin                  # latent selection masks
+        + 8 * K * L                # logit assembly / component selects
+        + 6 * (2 * L + K)          # gumbel argmaxes + lse
+        + 14 * D                   # RWM proposal, Box-Muller, Jacobians
+        + 10 * nw                  # counter-hash random words (int ops)
+        + 4 * K + 6 * K * D + 25   # pk adapt, chunk stats, MH accepts
+        + n_lp * count_logp_eqns(ms)
+    )
+    from automix_tpu.kernels import fused as fz
+    blk = fz.choose_block(S, fz._est_tiles(K, max(L, 1), D))
+    n_blocks = S // blk
+    state_rw = S * (D + K + 4) * 4 * 2        # k,theta,logp,pk,pkllim,nreinit
+    stats_out = S * (K + 2 * K * D + 6) * 4   # ksummary, th sums, counters
+    tables = (K * D + 3 * K * L + K * L * D + 2 * K * L * D * D) * 4
+    return ops, state_rw + stats_out + n_blocks * tables
+
+
 def chunk_cost_analysis(am, n_sweeps):
     """flops and HBM bytes of one compiled production chunk (XLA path).
 
     For the fused Pallas engine XLA's cost model cannot see inside the
-    kernel, so this is only meaningful for the XLA chunk runner; fused
-    targets report state-traffic bytes instead (the whole point of the
-    fused kernel is that per-sweep HBM traffic collapses to ~zero — one
-    state read+write per chunk)."""
+    kernel; fused targets use :func:`fused_cost_model` instead."""
     from automix_tpu.kernels import rjmcmc
 
     runner = rjmcmc.build_chunk_runner(am.modelset, am.cfg, burning=False,
@@ -119,19 +203,31 @@ def bench_target(target, n_chains, n_sweeps, warmup, profile_dir=None):
     t0 = time.perf_counter()
     am.estimate_conditional_probs()
     t_adapt = time.perf_counter() - t0
-    am.burn_samples(max(warmup, 200))
+    # burn long enough that the recorded parity_max_err is a meaningful
+    # posterior check, not a transient (heavy-model tests burn ~1000-1500)
+    am.burn_samples(max(warmup, 1000))
     am.rjmcmc_samples(warmup, collect=False)   # compile + warm
 
     t0 = time.perf_counter()
-    am.rjmcmc_samples(n_sweeps, collect=False)
+    stats = am.rjmcmc_samples(n_sweeps, collect=False)
     elapsed = time.perf_counter() - t0
     sweeps_s = n_chains * n_sweeps / elapsed
 
+    # every PERF refresh re-validates posteriors at scale against the
+    # published tutorial values / the C-binary oracle (VERDICT r3 item 5)
+    ref_probs = parity_reference(target)
+    parity_err = float(np.abs(stats.model_probs - ref_probs).max())
+
     engine = engine_used(am)
-    flops, nbytes = ((0.0, 0.0) if engine == "fused"
-                     else chunk_cost_analysis(am, am.cfg.sweep_chunk))
     chunk_t = elapsed * am.cfg.sweep_chunk / n_sweeps
-    kind, (peak_flops, peak_bw) = chip_peaks(jax.devices()[0])
+    kind, (peak_flops, peak_bw, peak_vpu) = chip_peaks(jax.devices()[0])
+    if engine == "fused":
+        lmax = int(am.proposal.lam.shape[1])
+        ops_per_cs, bytes_per_chunk = fused_cost_model(am, lmax)
+        flops = ops_per_cs * am.cfg.sweep_chunk * n_chains
+        nbytes = bytes_per_chunk
+    else:
+        flops, nbytes = chunk_cost_analysis(am, am.cfg.sweep_chunk)
     achieved_flops = flops / chunk_t if flops else 0.0
     achieved_bw = nbytes / chunk_t if nbytes else 0.0
 
@@ -143,12 +239,16 @@ def bench_target(target, n_chains, n_sweeps, warmup, profile_dir=None):
         "seconds": round(elapsed, 4),
         "adapt_seconds": round(t_adapt, 2),
         "chain_sweeps_per_s": round(sweeps_s, 1),
+        "parity_max_err": round(parity_err, 4),
         "flops_per_chain_sweep": round(flops / (am.cfg.sweep_chunk * n_chains), 1) if flops else None,
         "hbm_bytes_per_chain_sweep": round(nbytes / (am.cfg.sweep_chunk * n_chains), 1) if nbytes else None,
         "achieved_tflops": round(achieved_flops / 1e12, 3),
         "achieved_hbm_gbs": round(achieved_bw / 1e9, 1),
         "pct_peak_flops": round(100 * achieved_flops / peak_flops, 2),
+        "pct_peak_vpu": round(100 * achieved_flops / peak_vpu, 2),
         "pct_peak_hbm": round(100 * achieved_bw / peak_bw, 2),
+        "cost_model": ("analytic kernel-structure model (fused_cost_model)"
+                       if engine == "fused" else "XLA cost_analysis"),
         "device": kind,
     }
 
