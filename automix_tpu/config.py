@@ -154,9 +154,10 @@ class EngineConfig:
     rng: str = "auto"
     # Fused Pallas sweep engine (kernels/fused.py): run whole stage-3
     # chunks in one kernel with chain state resident in VMEM.  "auto" uses
-    # it on real TPU whenever the run is eligible (collect=False, no mesh,
-    # float32/Gaussian/rwm/per-chain-pk, all models provide logp_cols,
-    # small K*L*D unroll); "on" forces it (interpret mode off-TPU — for
+    # it on real TPU whenever the run is eligible (float32 rwm — Gaussian
+    # or Student-t — per-chain or single-block pooled pk, all models
+    # provide logp_cols, small K*L*D unroll, traces only at
+    # trace_every > 1); "on" forces it (interpret mode off-TPU — for
     # tests); "off" always uses the XLA chunk runner.
     fused: str = "auto"
     # Randomness source inside the fused kernel: "hw" = the TPU hardware

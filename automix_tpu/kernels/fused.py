@@ -46,8 +46,10 @@ Randomness: two in-kernel sources, selected statically.
 Eligibility is checked by :func:`fused_eligible`; the sampler falls back
 to the XLA chunk runner for anything the kernel does not cover (per-sweep
 traces at stride 1 — decimated traces run fused, config.trace_every —
-Student-t latents, HMC moves, pooled pk beyond one lane block, K*L*D
-unrolls beyond the VMEM/trace budget).  Pooled pk IS covered when all
+HMC moves, pooled pk beyond one lane block, K*L*D unrolls beyond the
+VMEM/trace budget).  Student-t runs ARE covered: perturbations come from
+Bailey's exact polar inversion (rejection-free, fixed op count) and the
+latent Jacobian uses the t log-density.  Pooled pk IS covered when all
 chains fit one lane block (the global-histogram update becomes a cross-
 lane reduction).  Meshes ARE covered: under ``shard_map`` each shard runs
 its own blocks with globally-indexed RNG streams and the chunk statistics
@@ -186,7 +188,6 @@ def fused_supported(modelset, cfg: EngineConfig) -> bool:
     return (
         has_cols
         and cfg.dtype == jnp.float32
-        and cfg.student_t_dof == 0
         and cfg.within_move == "rwm"
         and cfg.pk_mode in ("per_chain", "pooled")
         and modelset.dmax <= _MAX_D
@@ -248,6 +249,25 @@ def build_fused_chunk_runner(modelset, cfg: EngineConfig, burning: bool,
                          "interpreter does not emulate the hardware PRNG)")
     seed_static = int(cfg.seed)
 
+    # Student-t perturbations (student_T_dof, automix.c:1663-1680): the
+    # latent filler density becomes ltprob (automix.c:1717-1725), whose
+    # constant is computed at trace time (dof is static).
+    dof = int(cfg.student_t_dof)
+    if dof > 0:
+        import math
+        _lt_const = np.float32(
+            math.lgamma(0.5 * (dof + 1)) - math.lgamma(0.5 * dof)
+            - 0.5 * math.log(dof * math.pi))
+        _dof_f = np.float32(dof)
+
+    def lat_lpdf(w):
+        """Log-density of one latent filler coordinate: N(0,1) or t(dof)
+        (randoms.latent_log_pdf, the XLA path's form)."""
+        if dof > 0:
+            return _lt_const - np.float32(0.5 * (dof + 1)) \
+                * jnp.log1p(w * w * np.float32(1.0 / dof))
+        return -0.5 * w * w - HALF_LOG_2PI
+
     logpost_cols = make_logpost_cols(modelset)
 
     def lse_list(ls):
@@ -289,8 +309,13 @@ def build_fused_chunk_runner(modelset, cfg: EngineConfig, burning: bool,
         s_gmod = s_gall + L             # K words: destination-model gumbels
         s_gcmp = s_gmod + K             # L words: destination-component
         s_perm = s_gcmp + L             # D words: latent permutation keys
-        s_bm = s_perm + (D if cfg.perm else 0)   # 2D Box-Muller pairs
-        NW = s_bm + 2 * D
+        # Perturbation words: dof == 0 draws both the RWM and the latent
+        # normals from D Box-Muller pairs (cos/sin are independent); with
+        # Student-t the cos/sin components of one Bailey polar pair are
+        # *dependent* (they are a bivariate t), so each stream gets its
+        # own D pairs.
+        s_bm = s_perm + (D if cfg.perm else 0)
+        NW = s_bm + (4 * D if dof > 0 else 2 * D)
 
         def kernel(scal_ref, k_ref, th_ref, lp_ref, pk_ref, pkl_ref,
                    nri_ref, sig_ref, loglam_ref, abase_ref, logdet_ref,
@@ -351,13 +376,32 @@ def build_fused_chunk_runner(modelset, cfg: EngineConfig, burning: bool,
                 g_mod = [_gumbel(_u01(words[s_gmod + i])) for i in range(K)]
                 g_cmp = [_gumbel(_u01(words[s_gcmp + i])) for i in range(L)]
                 z_rwm, z_lat = [], []
-                for d in range(D):
-                    u1 = _u01(words[s_bm + d])
-                    u2 = _u01(words[s_bm + D + d])
-                    r = jnp.sqrt(-2.0 * jnp.log1p(-u1))
-                    ang = _TWO_PI * u2
-                    z_rwm.append(r * jnp.cos(ang))
-                    z_lat.append(r * jnp.sin(ang))
+                if dof > 0:
+                    # Bailey (1994) polar inversion, exact and branch-free:
+                    # with U, V ~ U(0,1),
+                    #   sqrt(dof (U^{-2/dof} - 1)) cos(2 pi V)  ~  t_dof.
+                    # Replaces the reference's rejection-sampled
+                    # gauss/chi2 ratio (rt, automix.c:1663-1680) with a
+                    # fixed op count; draws are independent per
+                    # coordinate (the documented rand_t deviation from
+                    # the reference's shared-denominator rt).
+                    def t_draw(u1, u2):
+                        r = jnp.sqrt(_dof_f * (jnp.exp(
+                            np.float32(-2.0 / dof) * jnp.log(u1)) - 1.0))
+                        return r * jnp.cos(_TWO_PI * u2)
+                    for d in range(D):
+                        z_rwm.append(t_draw(_u01(words[s_bm + d]),
+                                            _u01(words[s_bm + D + d])))
+                        z_lat.append(t_draw(_u01(words[s_bm + 2 * D + d]),
+                                            _u01(words[s_bm + 3 * D + d])))
+                else:
+                    for d in range(D):
+                        u1 = _u01(words[s_bm + d])
+                        u2 = _u01(words[s_bm + D + d])
+                        r = jnp.sqrt(-2.0 * jnp.log1p(-u1))
+                        ang = _TWO_PI * u2
+                        z_rwm.append(r * jnp.cos(ang))
+                        z_lat.append(r * jnp.sin(ang))
 
                 mks = [(kk == m).astype(jnp.float32) for m in range(K)]
 
@@ -503,8 +547,7 @@ def build_fused_chunk_runner(modelset, cfg: EngineConfig, burning: bool,
                               + (1.0 - mask_k[d]) * z_lat[d])
                 for d in range(D):
                     up = (1.0 - mask_k[d]) * mask_kn[d]
-                    logratio = logratio - up * (
-                        -0.5 * wf[d] * wf[d] - HALF_LOG_2PI)
+                    logratio = logratio - up * lat_lpdf(wf[d])
                 if cfg.perm:
                     # random permutation of the first max(dim_k, dim_kn)
                     # latent slots (doPerm, automix.c:1184-1194): sort by
@@ -527,8 +570,7 @@ def build_fused_chunk_runner(modelset, cfg: EngineConfig, burning: bool,
                             wf[j], wf[j + 1] = wj, wj1
                 for d in range(D):
                     down = mask_k[d] * (1.0 - mask_kn[d])
-                    logratio = logratio + down * (
-                        -0.5 * wf[d] * wf[d] - HALF_LOG_2PI)
+                    logratio = logratio + down * lat_lpdf(wf[d])
 
                 # de-standardize into the destination model
                 # (automix.c:1206-1211)

@@ -144,7 +144,8 @@ def fused_cost_model(am, L):
     # family-density calls/sweep: componentwise move = D calls on 9/10
     # sweeps, block move = 1 on the rest, + 1 for the RJ destination.
     n_lp = 0.9 * D + 0.1 + 1.0
-    nw = 4 * D + 2 * L + K + 1 + (D if cfg.perm else 0)
+    nw = ((4 if cfg.student_t_dof > 0 else 2) * D   # perturbation pairs
+          + D + 1 + 2 * L + K + (D if cfg.perm else 0))
     ops = (
         2 * (2 * tri + lin)        # fwd + reverse allocation (FMA + quad)
         + 2 * (tri + lin)          # de-standardize matvec

@@ -182,10 +182,11 @@ def test_fused_eligibility_gates():
     # chain count must tile into 8x128 lanes
     cfg_odd = EngineConfig(n_chains=1000, fused="on")
     assert not fused.fused_eligible(ms, cfg_odd, False, None, 5)
-    # student-t and hmc are unsupported
+    # student-t IS supported (Bailey polar draws + t latent density)
     cfg_t = EngineConfig(n_chains=1024, fused="on", student_t_dof=3,
                          rng="threefry")
-    assert not fused.fused_supported(ms, cfg_t)
+    assert fused.fused_supported(ms, cfg_t)
+    # hmc is unsupported
     cfg_h = EngineConfig(n_chains=1024, fused="on", within_move="hmc")
     assert not fused.fused_supported(ms, cfg_h)
     # models without column forms are unsupported
@@ -306,3 +307,37 @@ def test_fused_decimated_traces():
     assert stats.pk_trace.shape == (40, 3)
     assert stats.logp_trace.shape == (40,)
     assert np.all(np.isfinite(stats.logp_trace))
+
+
+def test_fused_student_t():
+    """student_T_dof > 0 through the fused kernel: Bailey polar t draws +
+    t latent Jacobian (automix.c:1663-1680, 1717-1725) preserve toy1's
+    exact model posteriors, and match the XLA threefry-t path."""
+    out = {}
+    for mode in ("on", "off"):
+        am = _mk_sampler(toy.toy1_set, fused=mode, seed=29,
+                         student_t_dof=5, rng="threefry")
+        am.estimate_conditional_probs()
+        am.burn_samples(100)
+        stats = am.rjmcmc_samples(400, collect=False)
+        out[mode] = stats.model_probs
+    for mode, probs in out.items():
+        assert abs(probs[0] - toy.TOY1_MODEL_PROBS[0]) < 0.08, (mode, probs)
+    assert abs(out["on"][0] - out["off"][0]) < 0.08
+
+
+def test_bailey_t_marginals():
+    """The in-kernel Bailey polar transform produces exact t(dof)
+    variates: check variance and tail quantiles against scipy-free
+    closed forms on the host (same formula, host numpy)."""
+    rng = np.random.default_rng(0)
+    n = 400_000
+    for dof, var in ((5, 5.0 / 3.0), (7, 7.0 / 5.0)):
+        u1 = rng.random(n).astype(np.float32) * (1 - 2e-7) + 1e-7
+        u2 = rng.random(n).astype(np.float32)
+        t = np.sqrt(dof * (u1 ** (-2.0 / dof) - 1.0)) \
+            * np.cos(2.0 * np.pi * u2)
+        assert abs(t.mean()) < 0.02
+        assert abs(t.var() - var) < 0.05
+        # symmetry of the tails
+        assert abs((t > 2).mean() - (t < -2).mean()) < 2e-3
