@@ -85,7 +85,8 @@ def build_hmc_move(modelset: ModelSet, cfg: EngineConfig):
 
 
 def tune_step_scale(modelset: ModelSet, cfg: EngineConfig, sig, key,
-                    n_rounds: int = 100, n_chains_per_model: int = 256):
+                    n_rounds: int = 100, n_chains_per_model: int = 256,
+                    mesh=None):
     """Dual-averaging tuning of the per-model HMC step-size multiplier.
 
     Runs ``n_rounds`` HMC moves on ``n_chains_per_model`` chains pinned to
@@ -102,13 +103,25 @@ def tune_step_scale(modelset: ModelSet, cfg: EngineConfig, sig, key,
     a cross-chain mean, so the gradient of each update has ~C times lower
     variance than single-chain dual averaging — the same pooling argument
     as stage 1's Robbins-Monro scale adaptation (kernels/rwm.py).
+
+    With ``mesh`` the tuning chains shard over the chain axis: gradient
+    sweeps run shard-local and the per-model acceptance counts reduce
+    with one ``psum`` per round — the dual-averaging state stays
+    replicated, so every shard applies the identical update.
     """
     import numpy as np
+
+    from automix_tpu.parallel.mesh import CHAIN_AXIS
 
     K, D = modelset.nmodels, modelset.dmax
     dtype = cfg.dtype
     C = n_chains_per_model
     M = K * C
+    axis = CHAIN_AXIS if mesh is not None else None
+    n_shards = int(mesh.devices.size) if mesh is not None else 1
+    if M % n_shards:
+        raise ValueError(f"K*n_chains_per_model={M} not divisible by "
+                         f"mesh size {n_shards}")
     delta = cfg.hmc_target_accept
     t0, gamma, kappa = 10.0, 0.05, 0.75
     mu0 = float(jnp.log(10.0 * cfg.hmc_step_scale)) \
@@ -127,29 +140,52 @@ def tune_step_scale(modelset: ModelSet, cfg: EngineConfig, sig, key,
     theta0 = modelset.init_points(k_init)[k_assign]
     lp0 = modelset.logpost_batch(k_assign, theta0)
 
-    def round_body(carry, t):
-        theta, lp, log_s, log_sbar, hbar, rkey = carry
-        rkey, ku, kj, kz = jax.random.split(rkey, 4)
-        u = jax.random.uniform(ku, (M,), dtype)
-        uj = jax.random.uniform(kj, (M,), dtype)
-        z = jax.random.normal(kz, (M, D), dtype)
-        eps = (onehot_k @ jnp.exp(log_s))[:, None] * sig_k
-        theta, lp, acc = move(u, uj, z, k_assign, theta, lp, eps, mask)
-        a_k = (onehot_k.T @ acc.astype(dtype)) / C              # [K]
-        tt = t.astype(dtype)
-        w = 1.0 / (tt + t0)
-        hbar = (1.0 - w) * hbar + w * (delta - a_k)
-        log_s = mu0 - jnp.sqrt(tt) / gamma * hbar
-        eta = tt ** (-kappa)
-        log_sbar = eta * log_s + (1.0 - eta) * log_sbar
-        return (theta, lp, log_s, log_sbar, hbar, rkey), a_k
+    def tune(theta0, lp0, k_assign, sig_k, mask, onehot_k, key):
+        mloc = theta0.shape[0]
+        if axis is None:
+            shard = None
+        else:
+            shard = jax.lax.axis_index(axis).astype(jnp.int32)
 
-    init = (theta0, lp0,
-            jnp.full((K,), mu0 - jnp.log(10.0), dtype),
-            jnp.full((K,), mu0 - jnp.log(10.0), dtype),
-            jnp.zeros((K,), dtype), key)
-    carry, _accepts = jax.jit(
-        lambda c: jax.lax.scan(round_body, c,
-                               jnp.arange(1, n_rounds + 1)))(init)
-    log_sbar = carry[3]
+        def round_body(carry, t):
+            theta, lp, log_s, log_sbar, hbar, rkey = carry
+            rkey, rk = jax.random.split(rkey)
+            rk = rk if shard is None else jax.random.fold_in(rk, shard)
+            ku, kj, kz = jax.random.split(rk, 3)
+            u = jax.random.uniform(ku, (mloc,), dtype)
+            uj = jax.random.uniform(kj, (mloc,), dtype)
+            z = jax.random.normal(kz, (mloc, D), dtype)
+            eps = (onehot_k @ jnp.exp(log_s))[:, None] * sig_k
+            theta, lp, acc = move(u, uj, z, k_assign, theta, lp, eps, mask)
+            sums = onehot_k.T @ acc.astype(dtype)               # [K] local
+            if axis is not None:
+                sums = jax.lax.psum(sums, axis)
+            a_k = sums / C
+            tt = t.astype(dtype)
+            w = 1.0 / (tt + t0)
+            hbar = (1.0 - w) * hbar + w * (delta - a_k)
+            log_s = mu0 - jnp.sqrt(tt) / gamma * hbar
+            eta = tt ** (-kappa)
+            log_sbar = eta * log_s + (1.0 - eta) * log_sbar
+            return (theta, lp, log_s, log_sbar, hbar, rkey), a_k
+
+        init = (theta0, lp0,
+                jnp.full((K,), mu0 - jnp.log(10.0), dtype),
+                jnp.full((K,), mu0 - jnp.log(10.0), dtype),
+                jnp.zeros((K,), dtype), key)
+        carry, _accepts = jax.lax.scan(round_body, init,
+                                       jnp.arange(1, n_rounds + 1))
+        return carry[3]
+
+    if mesh is None:
+        log_sbar = jax.jit(tune)(theta0, lp0, k_assign, sig_k, mask,
+                                 onehot_k, key)
+    else:
+        from jax.sharding import PartitionSpec as P
+        sh = P(CHAIN_AXIS)
+        fn = jax.jit(jax.shard_map(
+            tune, mesh=mesh,
+            in_specs=(sh, sh, sh, sh, sh, sh, P()),
+            out_specs=P(), check_vma=False))
+        log_sbar = fn(theta0, lp0, k_assign, sig_k, mask, onehot_k, key)
     return np.asarray(jnp.exp(log_sbar), np.float64)

@@ -23,6 +23,18 @@ reference cannot produce.
 Mutation kernel: componentwise RWM targeting pi_beta (accept on
 beta * dlogp + (1-beta) * dlogq), reusing the stage-1 adapted scales.
 Resampling: systematic, per model, every temperature step.
+
+Sharding (``mesh=``): the particle axis is sharded over the chain mesh.
+Mutation — the dominant cost, ``n_moves * D`` log-density sweeps per
+temperature — runs shard-local.  Resampling needs the *global* weight
+vector, so the per-shard weights (and the tiny [K, N] particle cloud —
+KB-scale at these dims) ride one ``all_gather`` per temperature step;
+the systematic-resampling indices are computed identically on every
+shard from a replicated key, and each shard keeps its own slice of the
+globally resampled cloud.  Evidence increments and ESS come from the
+gathered weights, so ``log_evidence`` is exactly the single-device
+estimator (same indices, same reduction order) up to the statistically
+independent per-shard mutation streams.
 """
 
 from __future__ import annotations
@@ -67,13 +79,17 @@ def _systematic_resample(key, logw, n):
 
 def run_smc(modelset: ModelSet, cfg: EngineConfig, proposal: Proposal, key,
             n_particles: int = 2048, n_temps: int = 20, n_moves: int = 3,
-            betas: Optional[jnp.ndarray] = None):
+            betas: Optional[jnp.ndarray] = None, mesh=None):
     """Annealed SMC for all models simultaneously.
 
     Returns dict with ``log_evidence`` [K], ``model_probs`` [K] (softmax of
     the evidences — the registered densities carry their model priors),
     ``ess`` [n_temps, K] effective sample sizes, and the final particle
     cloud ``theta`` [K, N, D] (equally weighted after the final resample).
+
+    With ``mesh`` the particle axis runs sharded under ``shard_map`` (see
+    module docstring); ``n_particles`` is the *global* count and must be
+    divisible by the mesh size.
     """
     K, D = modelset.nmodels, modelset.dmax
     dims = modelset.dims_device
@@ -85,24 +101,44 @@ def run_smc(modelset: ModelSet, cfg: EngineConfig, proposal: Proposal, key,
         betas = jnp.asarray(betas)
         n_temps = betas.shape[0]
 
+    from automix_tpu.parallel.mesh import CHAIN_AXIS
+    axis = CHAIN_AXIS if mesh is not None else None
+    n_shards = int(mesh.devices.size) if mesh is not None else 1
+    if N % n_shards:
+        raise ValueError(f"n_particles={N} not divisible by mesh size "
+                         f"{n_shards}")
+    Nloc = N // n_shards
+
     lam, mu, B = proposal.lam, proposal.mu, proposal.B
     sig = proposal.sig
 
-    def logq_all(theta):          # [K, N, D] -> [K, N]
+    def gather_p(x):
+        """[K, Nloc, ...] local -> [K, N, ...] global (identity unsharded)."""
+        if axis is None:
+            return x
+        return jax.lax.all_gather(x, axis, axis=1, tiled=True)
+
+    def logq_all(theta):          # [K, Nloc, D] -> [K, Nloc]
         return jax.vmap(
             lambda th_k, lam_k, mu_k, B_k, d:
             _mixture_logq(th_k, lam_k, mu_k, B_k, None, d)
         )(theta, lam, mu, B, dims)
 
-    def logp_all(theta):          # [K, N, D] -> [K, N]
-        k_idx = jnp.repeat(jnp.arange(K, dtype=jnp.int32), N)
-        flat = theta.reshape(K * N, D)
-        return modelset.logpost_batch(k_idx, flat).reshape(K, N)
+    def logp_all(theta):          # [K, Nloc, D] -> [K, Nloc]
+        k_idx = jnp.repeat(jnp.arange(K, dtype=jnp.int32), Nloc)
+        flat = theta.reshape(K * Nloc, D)
+        return modelset.logpost_batch(k_idx, flat).reshape(K, Nloc)
 
-    @jax.jit
     def smc(key):
+        if axis is None:
+            shard = jnp.int32(0)
+        else:
+            shard = jax.lax.axis_index(axis).astype(jnp.int32)
         key, k_init = jax.random.split(key)
-        init_keys = jax.random.split(k_init, K * N).reshape(K, N, 2)
+        # particle-init streams are per *global* particle: fold the shard
+        # into the init key so shards draw disjoint streams
+        k_init = jax.random.fold_in(k_init, shard) if axis else k_init
+        init_keys = jax.random.split(k_init, K * Nloc).reshape(K, Nloc, 2)
         theta0 = jax.vmap(lambda keys_k, lam_k, mu_k, B_k, d: jax.vmap(
             lambda kk: _sample_mixture(kk, lam_k, mu_k, B_k, d, D, dtype)
         )(keys_k))(init_keys, lam, mu, B, dims)
@@ -115,32 +151,42 @@ def run_smc(modelset: ModelSet, cfg: EngineConfig, proposal: Proposal, key,
             theta, logp, logq, logZ, prev_beta, key = carry
             beta = inp
             dbeta = beta - prev_beta
-            delta = logp - logq                          # [K, N]
+            delta = logp - logq                          # [K, Nloc]
+            lw_all = gather_p(dbeta * delta)             # [K, N] global
             # evidence increment per model: log mean exp(dbeta * delta)
-            logZ = logZ + logsumexp(dbeta * delta, axis=1) - jnp.log(float(N))
-            ess = jnp.exp(2 * logsumexp(dbeta * delta, axis=1)
-                          - logsumexp(2 * dbeta * delta, axis=1))
+            logZ = logZ + logsumexp(lw_all, axis=1) - jnp.log(float(N))
+            ess = jnp.exp(2 * logsumexp(lw_all, axis=1)
+                          - logsumexp(2 * lw_all, axis=1))
 
-            # systematic resample per model
+            # systematic resample per model: global indices computed
+            # identically on every shard (replicated key); each shard
+            # keeps its slice of the resampled global cloud
             key, k_rs = jax.random.split(key)
             rs_keys = jax.random.split(k_rs, K)
             idx = jax.vmap(lambda kk, lw: _systematic_resample(kk, lw, N)
-                           )(rs_keys, dbeta * delta)
-            theta = jnp.take_along_axis(theta, idx[:, :, None], axis=1)
-            logp = jnp.take_along_axis(logp, idx, axis=1)
-            logq = jnp.take_along_axis(logq, idx, axis=1)
+                           )(rs_keys, lw_all)            # [K, N]
+            idx_loc = jax.lax.dynamic_slice_in_dim(idx, shard * Nloc,
+                                                   Nloc, axis=1)
+            th_all = gather_p(theta)
+            lp_all = gather_p(logp)
+            lq_all = gather_p(logq)
+            theta = jnp.take_along_axis(th_all, idx_loc[:, :, None], axis=1)
+            logp = jnp.take_along_axis(lp_all, idx_loc, axis=1)
+            logq = jnp.take_along_axis(lq_all, idx_loc, axis=1)
 
-            # RWM mutations targeting pi_beta
+            # RWM mutations targeting pi_beta (shard-local; streams are
+            # disjoint across shards via the shard fold)
             def one_move(carry, mkey):
                 theta, logp, logq = carry
+                mkey = jax.random.fold_in(mkey, shard) if axis else mkey
 
                 def coord(j, c):
                     theta, logp, logq = c
                     ck = jax.random.fold_in(mkey, j)
                     z = jax.random.normal(jax.random.fold_in(ck, 0),
-                                          (K, N), dtype)
+                                          (K, Nloc), dtype)
                     u = jax.random.uniform(jax.random.fold_in(ck, 1),
-                                           (K, N), dtype)
+                                           (K, Nloc), dtype)
                     active = (j < dims)[:, None]                     # [K, 1]
                     prop_j = theta[:, :, j] + sig[:, j][:, None] * z
                     theta_p = theta.at[:, :, j].set(
@@ -173,4 +219,17 @@ def run_smc(modelset: ModelSet, cfg: EngineConfig, proposal: Proposal, key,
         return {"log_evidence": logZ, "model_probs": probs, "ess": ess,
                 "theta": theta, "logp": logp}
 
-    return jax.device_get(smc(key))
+    if mesh is None:
+        return jax.device_get(jax.jit(smc)(key))
+
+    from jax.sharding import PartitionSpec as P
+    part = P(None, CHAIN_AXIS)
+    out_specs = {"log_evidence": P(), "model_probs": P(), "ess": P(),
+                 "theta": part, "logp": part}
+    # check_vma=False: outputs mix shard-varying particles with values
+    # that are replicated by construction (identical global weights ->
+    # identical indices/reductions on every shard); the shard-count
+    # invariance test asserts the semantics instead.
+    fn = jax.jit(jax.shard_map(smc, mesh=mesh, in_specs=P(),
+                               out_specs=out_specs, check_vma=False))
+    return jax.device_get(fn(key))

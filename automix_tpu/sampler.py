@@ -120,7 +120,7 @@ class AMSampler:
 
         from automix_tpu.kernels.hmc import tune_step_scale
         scales = tune_step_scale(self.modelset, self.cfg, self.proposal.sig,
-                                 self._next_key())
+                                 self._next_key(), mesh=self.mesh)
         self.cfg = dataclasses.replace(
             self.cfg, hmc_step_scale=tuple(float(s) for s in scales))
 
@@ -275,7 +275,7 @@ class AMSampler:
         self._ensure_proposal()
         return smc.run_smc(self.modelset, self.cfg, self.proposal,
                            self._next_key(), n_particles=n_particles,
-                           n_temps=n_temps, n_moves=n_moves)
+                           n_temps=n_temps, n_moves=n_moves, mesh=self.mesh)
 
     def save(self, path: str):
         """Checkpoint the full resumable state (chains + proposal + stats);
