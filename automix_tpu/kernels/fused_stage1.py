@@ -89,9 +89,9 @@ def _est_tiles(K: int, D: int) -> int:
 
 
 def stage1_eligible(modelset, cfg: EngineConfig, mesh, C: int) -> bool:
-    """The fused stage-1 covers: float32 Gaussian runs, no mesh (pooling
-    is a lane reduction inside ONE block), column-form densities, and a
-    lane block that fits VMEM.  Gated on ``cfg.fused_stage1`` ("auto" =
+    """The fused stage-1 covers: float32 runs (Gaussian or Student-t via
+    Bailey draws), no mesh (pooling is a lane reduction inside ONE
+    block), column-form densities, and a lane block that fits VMEM.  Gated on ``cfg.fused_stage1`` ("auto" =
     on real TPU; "on" = forced, interpret mode off-TPU — the test path),
     NOT on ``cfg.fused``: the two engines are enabled independently."""
     if cfg.fused_stage1 == "off" or mesh is not None:
@@ -99,7 +99,6 @@ def stage1_eligible(modelset, cfg: EngineConfig, mesh, C: int) -> bool:
     has_cols = (getattr(modelset, "batched_logpost_cols", None) is not None
                 or all(m.logp_cols is not None for m in modelset.models))
     if not (has_cols and cfg.dtype == jnp.float32
-            and cfg.student_t_dof == 0
             and modelset.dmax <= _MAX_D_STAGE1):
         return False
     K, D = modelset.nmodels, modelset.dmax
@@ -245,15 +244,21 @@ def _segment_call(modelset, cfg: EngineConfig, logpost_cols, n_sweeps: int,
     K, D = modelset.nmodels, modelset.dmax
     dims = tuple(int(d) for d in modelset.dims)
     key = (id(modelset), K, D, dims, n_sweeps, C, W, interpret,
-           cfg.stage1_adapt, float(cfg.stage1_log_gain))
+           cfg.stage1_adapt, float(cfg.stage1_log_gain),
+           int(cfg.student_t_dof))
     fn = _KERNEL_CACHE.get(key)
     if fn is not None:
         return fn
 
     log_rule = cfg.stage1_adapt == "log"
     log_gain = float(cfg.stage1_log_gain)
-    NW = 3 * D               # per-sweep words: D accept-u, 2D Box-Muller
+    NW = 3 * D               # per-sweep words: D accept-u, 2D draw pairs
     inv_c = 1.0 / C
+    # Student-t proposals (rwm_within_model's rt draws, automix.c:607,625)
+    # via Bailey's exact polar inversion — same two words per variate as
+    # the Box-Muller pair (whose sin component was discarded anyway), so
+    # the word layout is unchanged.  Symmetric proposal: no ratio terms.
+    dof = int(cfg.student_t_dof)
 
     def kernel(scal_ref, th_ref, sig_ref, nacc_ref, ntry_ref,
                th_o, sig_o, nacc_o, ntry_o, lp_o):
@@ -313,7 +318,11 @@ def _segment_call(modelset, cfg: EngineConfig, logpost_cols, n_sweeps: int,
             for j in range(D):
                 u1 = _u01(w[D + j])
                 u2 = _u01(w[2 * D + j])
-                r = jnp.sqrt(-2.0 * jnp.log1p(-u1))
+                if dof > 0:       # Bailey polar: exact t_dof variate
+                    r = jnp.sqrt(np.float32(dof) * (jnp.exp(
+                        np.float32(-2.0 / dof) * jnp.log(u1)) - 1.0))
+                else:             # Box-Muller (sin component unused)
+                    r = jnp.sqrt(-2.0 * jnp.log1p(-u1))
                 z.append(r * jnp.cos(_TWO_PI * u2))
 
             do_block = (t > nburn) & block_coin(t)

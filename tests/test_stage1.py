@@ -154,3 +154,26 @@ def test_fused_stage1_padded_coords_stay_zero():
     assert np.all(np.asarray(sig[0, 1:]) == 10.0)
     # both real coords of the 2-D model must have moved off the 10.0 init
     assert float(sig[1, 1]) != 10.0
+
+
+def test_fused_stage1_student_t_matches_xla_path():
+    """Student-t stage-1 proposals through the fused kernel (Bailey polar
+    draws, automix.c:607,625 rt semantics): adapted scales and stage-2
+    sample moments must match the XLA t path statistically."""
+    from automix_tpu.models.tutorial import tutorial_set
+    sig_by_path, mom_by_path = {}, {}
+    for mode in ("on", "off"):
+        ms = tutorial_set()
+        cfg = EngineConfig(n_chains_stage1=1024, stage1_sweeps=500,
+                           seed=9, fused_stage1=mode, student_t_dof=5,
+                           rng="threefry")
+        sig, smp, tele = rwm.run_stage1(ms, cfg, jax.random.PRNGKey(2), 500)
+        sig_by_path[mode] = np.asarray(sig)
+        mom_by_path[mode] = (np.asarray(smp).mean(axis=1),
+                             np.asarray(smp).std(axis=1))
+    np.testing.assert_allclose(
+        sig_by_path["on"], sig_by_path["off"], rtol=0.25, atol=0.05)
+    for which in (0, 1):
+        np.testing.assert_allclose(
+            mom_by_path["on"][which], mom_by_path["off"][which],
+            rtol=0.25, atol=0.15)
