@@ -37,6 +37,7 @@ Reference: userddi.c:533-670 (the per-patient loop this replaces).
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 
@@ -187,11 +188,21 @@ def build_llh(tables, dtype=jnp.float32):
     tab_lin = table[n_quad:n_quad + n_fix]
     tab_const = jnp.asarray(tables["table"][n_quad + n_fix], dtype)
 
+    # Full-f32 matmul precision: TPU matmuls default to bf16 inputs, and
+    # logp here is ~ -5e3 while the decisive model-comparison margin is
+    # only a few log units (oracle log-odds -4.4) — bf16 feature products
+    # bias logp by O(1) at the mode and worse at exploration scale,
+    # enough to invert the DDI model posterior (caught by the PERF
+    # parity guard on TPU; CPU f32 matmuls never see this).  The matmul
+    # is [S, 55] x [55, 105] — 6 bf16 passes cost nothing at this size.
+    _PREC = jax.lax.Precision.HIGHEST
+
     def llh(prec_tri, var, alpha, log_det_prec):
         S = alpha.shape[0]
         delta = alpha.astype(dtype) - alpha_hat
         phi2 = delta[:, iu0] * delta[:, iu1]              # [S, n_quad]
-        stats = (phi2 @ tab_quad + delta @ tab_lin
+        stats = (jnp.matmul(phi2, tab_quad, precision=_PREC)
+                 + jnp.matmul(delta, tab_lin, precision=_PREC)
                  + tab_const[None, :]).reshape(S, n_cls, 1 + ntri)
         q0 = stats[:, :, 0]                               # [S, C]
         H = stats[:, :, 1:]                               # [S, C, ntri]
