@@ -14,12 +14,17 @@ replacement for hand-picking ``hmc_step_scale``.  The leapfrog carries the
 gradient between steps, so a trajectory of ``n`` steps costs ``n + 1``
 gradient evaluations (not ``2n``).
 
-With ``cfg.hmc_jitter`` (default on) each chain's trajectory length is
-drawn uniformly from {1..hmc_steps} per move — randomized trajectory
-lengths break the periodicity pathologies NUTS exists to avoid, while
-keeping the fixed-bound, mask-based control flow a vectorized TPU kernel
-needs (a per-chain tree-doubling NUTS would diverge control flow across
-the batch).
+With ``cfg.hmc_jitter`` (default on) the trajectory length is drawn
+uniformly from {1..hmc_steps} per move — randomized trajectory lengths
+break the periodicity pathologies NUTS exists to avoid, while keeping
+the mask-free control flow a vectorized TPU kernel needs (a per-chain
+tree-doubling NUTS would diverge control flow across the batch).  The
+draw is *shared across the chain batch* for each move: every chain's
+length is still marginally uniform{1..hmc_steps} (any state-independent
+length distribution preserves detailed balance), but the batch pays
+exactly the drawn number of gradient evaluations instead of always
+paying ``hmc_steps`` with the surplus masked off — an expected ~2x
+saving on the dominant cost.
 """
 
 from __future__ import annotations
@@ -31,45 +36,45 @@ from automix_tpu.config import EngineConfig, LOG_ACCEPT_CLAMP
 from automix_tpu.model import ModelSet
 
 
+def sample_n_steps(cfg: EngineConfig, u):
+    """Shared trajectory length for one move from a state-independent
+    uniform ``u``: uniform{1..hmc_steps} under jitter, else hmc_steps."""
+    if not cfg.hmc_jitter:
+        return jnp.asarray(cfg.hmc_steps, jnp.int32)
+    steps = 1 + jnp.floor(u * cfg.hmc_steps).astype(jnp.int32)
+    return jnp.minimum(steps, cfg.hmc_steps)
+
+
 def build_hmc_move(modelset: ModelSet, cfg: EngineConfig):
-    """Single-chain HMC move ``(u_acc, u_jit, z, k, theta, logp, eps,
+    """Single-chain HMC move ``(u_acc, n_steps, z, k, theta, logp, eps,
     mask_k) -> (theta, logp, accepted)`` (to be vmapped by the sweep
-    kernel).
+    kernel with ``n_steps`` shared across the batch).
 
-    ``u_acc`` is this chain's accept uniform, ``u_jit`` its trajectory-
-    length uniform, ``z`` [D] its momentum draw (all sliced from the
-    sweep's batched random block, rjmcmc.draw_sweep_randoms), and ``eps``
-    [D] its fully resolved leapfrog step sizes (per-model tuned scale x
-    stage-1 sig, computed by the caller as one one-hot contraction)."""
-    n_steps = cfg.hmc_steps
-
+    ``u_acc`` is this chain's accept uniform, ``n_steps`` the move's
+    trajectory length (an int32 scalar from :func:`sample_n_steps` —
+    shared so the batch's leapfrog loop runs exactly that many gradient
+    steps), ``z`` [D] its momentum draw (sliced from the sweep's batched
+    random block, rjmcmc.draw_sweep_randoms), and ``eps`` [D] its fully
+    resolved leapfrog step sizes (per-model tuned scale x stage-1 sig,
+    computed by the caller as one one-hot contraction)."""
     grad_logp = jax.grad(modelset.logpost_padded, argnums=1)
 
-    def move(u_acc, u_jit, z, k, theta, logp, eps, mask_k):
+    def move(u_acc, n_steps, z, k, theta, logp, eps, mask_k):
         eps = eps * mask_k
         p0 = z * mask_k
-        if cfg.hmc_jitter:
-            my_steps = 1 + jnp.floor(u_jit * n_steps).astype(jnp.int32)
-            my_steps = jnp.minimum(my_steps, n_steps)
-        else:
-            my_steps = jnp.asarray(n_steps, jnp.int32)
 
         g0 = grad_logp(k, theta) * mask_k
 
-        def leapfrog(carry, i):
+        def leapfrog(i, carry):
             q, p, g = carry
-            live = i < my_steps
             p_half = p + 0.5 * eps * g
-            q_new = (q + eps * p_half) * mask_k
-            g_new = grad_logp(k, q_new) * mask_k
-            p_new = p_half + 0.5 * eps * g_new
-            q = jnp.where(live, q_new, q)
-            p = jnp.where(live, p_new, p)
-            g = jnp.where(live, g_new, g)
-            return (q, p, g), None
+            q = (q + eps * p_half) * mask_k
+            g = grad_logp(k, q) * mask_k
+            p = p_half + 0.5 * eps * g
+            return (q, p, g)
 
-        (q, p, _), _ = jax.lax.scan(leapfrog, (theta, p0, g0),
-                                    jnp.arange(n_steps))
+        q, p, _ = jax.lax.fori_loop(0, n_steps, leapfrog,
+                                    (theta, p0, g0))
         lp_new = modelset.logpost_padded(k, q)
         # guard non-finite trajectories (diverged leapfrog)
         bad = ~(jnp.all(jnp.isfinite(q)) & jnp.isfinite(lp_new))
@@ -128,7 +133,7 @@ def tune_step_scale(modelset: ModelSet, cfg: EngineConfig, sig, key,
         if jnp.ndim(cfg.hmc_step_scale) == 0 else float(jnp.log(2.0))
 
     move = jax.vmap(build_hmc_move(modelset, cfg),
-                    in_axes=(0, 0, 0, 0, 0, 0, 0, 0))
+                    in_axes=(0, None, 0, 0, 0, 0, 0, 0))
     dims = modelset.dims_device
     coords = jnp.arange(D)
     k_assign = jnp.repeat(jnp.arange(K, dtype=jnp.int32), C)
@@ -150,13 +155,15 @@ def tune_step_scale(modelset: ModelSet, cfg: EngineConfig, sig, key,
         def round_body(carry, t):
             theta, lp, log_s, log_sbar, hbar, rkey = carry
             rkey, rk = jax.random.split(rkey)
+            # trajectory length: replicated draw (same on every shard)
+            nst = sample_n_steps(cfg, jax.random.uniform(
+                jax.random.fold_in(rk, 0x5EED), (), dtype))
             rk = rk if shard is None else jax.random.fold_in(rk, shard)
-            ku, kj, kz = jax.random.split(rk, 3)
+            ku, kz = jax.random.split(rk, 2)
             u = jax.random.uniform(ku, (mloc,), dtype)
-            uj = jax.random.uniform(kj, (mloc,), dtype)
             z = jax.random.normal(kz, (mloc, D), dtype)
             eps = (onehot_k @ jnp.exp(log_s))[:, None] * sig_k
-            theta, lp, acc = move(u, uj, z, k_assign, theta, lp, eps, mask)
+            theta, lp, acc = move(u, nst, z, k_assign, theta, lp, eps, mask)
             sums = onehot_k.T @ acc.astype(dtype)               # [K] local
             if axis is not None:
                 sums = jax.lax.psum(sums, axis)

@@ -194,7 +194,7 @@ def build_sweep_all(modelset: ModelSet, cfg: EngineConfig, burning: bool,
     if cfg.within_move == "hmc":
         from automix_tpu.kernels.hmc import build_hmc_move
         hmc_move = jax.vmap(build_hmc_move(modelset, cfg),
-                            in_axes=(0, 0, 0, 0, 0, 0, 0, 0))
+                            in_axes=(0, None, 0, 0, 0, 0, 0, 0))
     else:
         hmc_move = None
 
@@ -279,7 +279,11 @@ def build_sweep_all(modelset: ModelSet, cfg: EngineConfig, burning: bool,
                 eps_k = scale * sig_k
             else:       # per-model tuned multipliers (kernels/hmc.py)
                 eps_k = (onehot_k @ scale)[:, None] * sig_k
-            theta, logp, acc = hmc_move(us("rwm")[:, 0], us("extra")[:, 0],
+            # shared trajectory length from a state-independent uniform
+            # (chain 0's "extra" slot) — see kernels/hmc.py module doc
+            from automix_tpu.kernels.hmc import sample_n_steps
+            nst = sample_n_steps(cfg, us("extra")[0, 0])
+            theta, logp, acc = hmc_move(us("rwm")[:, 0], nst,
                                         z[:, :D], k, theta, logp, eps_k,
                                         mask_k)
             naccb = acc.astype(jnp.int32)

@@ -36,12 +36,12 @@ def test_toy1_exact_model_probs():
 
 
 def test_toy2_exact_model_probs():
-    cfg = EngineConfig(n_chains=512, n_chains_stage1=256, stage1_sweeps=800,
+    cfg = EngineConfig(n_chains=256, n_chains_stage1=256, stage1_sweeps=800,
                        sweep_chunk=400, max_em_iters=300, max_mix_comps=12,
                        seed=12)
     am = AMSampler(toy2_set(), cfg)
-    am.burn_samples(600)
-    stats = am.rjmcmc_samples(2400)
+    am.burn_samples(500)
+    stats = am.rjmcmc_samples(1700)
     probs = stats.model_probs
     # beat the reference's own single-chain accuracy (see docstring)
     np.testing.assert_allclose(probs, TOY2_MODEL_PROBS, atol=0.06)

@@ -92,11 +92,11 @@ def test_fused_deterministic_and_chunk_invariant():
     """Counter-hash streams are (seed, sweep, chain, slot)-indexed, so a
     run is bitwise reproducible AND invariant to how sweeps are chunked."""
     res = []
-    for chunk in (40, 80):
+    for chunk in (20, 40):
         am = _mk_sampler(tutorial_set, sweep_chunk=chunk, fused_rng="hash")
         am.estimate_conditional_probs()
-        am.burn_samples(40)
-        stats = am.rjmcmc_samples(160, collect=False)
+        am.burn_samples(20)
+        stats = am.rjmcmc_samples(80, collect=False)
         res.append((np.asarray(am.chains.theta), np.asarray(am.chains.k),
                     stats.ksummary.copy()))
     np.testing.assert_array_equal(res[0][1], res[1][1])
@@ -111,8 +111,8 @@ def test_fused_matches_xla_statistically():
     for mode in ("on", "off"):
         am = _mk_sampler(toy.toy1_set, fused=mode, seed=11)
         am.estimate_conditional_probs()
-        am.burn_samples(100)
-        stats = am.rjmcmc_samples(400, collect=False)
+        am.burn_samples(60)
+        stats = am.rjmcmc_samples(240, collect=False)
         out[mode] = stats.model_probs
     for mode, probs in out.items():
         assert abs(probs[0] - toy.TOY1_MODEL_PROBS[0]) < 0.08, (mode, probs)
@@ -134,8 +134,8 @@ def test_fused_sharded_equals_unsharded(eight_devices):
         am = _mk_sampler(tutorial_set, n_chains=8192, fused_rng="hash")
         am.mesh = mesh
         am.set_proposal(prop)
-        am.burn_samples(40)
-        stats = am.rjmcmc_samples(120, collect=False)
+        am.burn_samples(16)
+        stats = am.rjmcmc_samples(64, collect=False)
         res[nm] = (stats.ksummary.copy(), np.asarray(am.chains.theta),
                    np.asarray(am.chains.k))
     np.testing.assert_array_equal(res["sharded"][0], res["single"][0])
@@ -151,18 +151,18 @@ def test_fused_checkpoint_resume(tmp_path):
 
     am_a = _mk_sampler(tutorial_set, fused_rng="hash")
     am_a.estimate_conditional_probs()
-    am_a.burn_samples(50)
-    am_a.rjmcmc_samples(200, collect=False)
+    am_a.burn_samples(30)
+    am_a.rjmcmc_samples(120, collect=False)
 
     am_b = _mk_sampler(tutorial_set, fused_rng="hash")
     am_b.estimate_conditional_probs()
-    am_b.burn_samples(50)
-    am_b.rjmcmc_samples(90, collect=False)
+    am_b.burn_samples(30)
+    am_b.rjmcmc_samples(50, collect=False)
     am_b.save(path)
 
     am_c = _mk_sampler(tutorial_set, fused_rng="hash")
     am_c.load(path)
-    am_c.rjmcmc_samples(110, collect=False)
+    am_c.rjmcmc_samples(70, collect=False)
 
     np.testing.assert_array_equal(np.asarray(am_a.chains.k),
                                   np.asarray(am_c.chains.k))
@@ -242,9 +242,9 @@ def test_fused_perm_mode():
     model posteriors still come out."""
     am = _mk_sampler(toy.toy1_set, seed=21, perm=True)
     am.estimate_conditional_probs()
-    am.burn_samples(100)
-    stats = am.rjmcmc_samples(400, collect=False)
-    assert stats.ksummary.sum() == 1024 * 400
+    am.burn_samples(60)
+    stats = am.rjmcmc_samples(240, collect=False)
+    assert stats.ksummary.sum() == 1024 * 240
     assert abs(stats.model_probs[0] - toy.TOY1_MODEL_PROBS[0]) < 0.08
 
 
@@ -272,8 +272,8 @@ def test_fused_pooled_pk_matches_xla():
         am = _mk_sampler(toy.toy1_set, fused=mode, seed=7,
                          pk_mode="pooled")
         am.estimate_conditional_probs()
-        am.burn_samples(100)
-        stats = am.rjmcmc_samples(400, collect=False)
+        am.burn_samples(60)
+        stats = am.rjmcmc_samples(240, collect=False)
         out[mode] = stats.model_probs
     for mode, probs in out.items():
         assert abs(probs[0] - toy.TOY1_MODEL_PROBS[0]) < 0.08, (mode, probs)
@@ -318,8 +318,8 @@ def test_fused_student_t():
         am = _mk_sampler(toy.toy1_set, fused=mode, seed=29,
                          student_t_dof=5, rng="threefry")
         am.estimate_conditional_probs()
-        am.burn_samples(100)
-        stats = am.rjmcmc_samples(400, collect=False)
+        am.burn_samples(60)
+        stats = am.rjmcmc_samples(240, collect=False)
         out[mode] = stats.model_probs
     for mode, probs in out.items():
         assert abs(probs[0] - toy.TOY1_MODEL_PROBS[0]) < 0.08, (mode, probs)
