@@ -97,10 +97,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="fused Pallas stage-1 kernel "
                         "(kernels/fused_stage1.py): auto selects it on TPU "
                         "when eligible")
-    p.add_argument("--trace-every", type=int, default=1,
+    p.add_argument("--trace-every", type=int, default=None,
                    help="record per-sweep traces every Nth sweep; with "
                         "N > 1 traced runs stay on the fused engine "
-                        "(boundary snapshots, config.py trace_every)")
+                        "(boundary snapshots, config.py trace_every). "
+                        "Default: 16 when the problem can run the fused "
+                        "Pallas engine (stride-1 traces would force the "
+                        "~1000x slower XLA path), else 1 (exact "
+                        "reference-format traces; pass 1 to force)")
     p.add_argument("--platform", default=None,
                    help="force a jax platform (cpu/tpu)")
     p.add_argument("--no-reports", action="store_true",
@@ -146,9 +150,27 @@ def main(argv=None):
         n_chains_stage1=args.chains_stage1,
         fused=args.fused,
         fused_stage1=args.fused_stage1,
-        trace_every=args.trace_every,
+        trace_every=args.trace_every or 1,
     )
     modelset = _resolve_problem(args.problem)()
+    if args.trace_every is None:
+        # Default-performance guard: stride-1 traces disqualify the fused
+        # Pallas engine (fused.py requires collect=False), costing ~3
+        # orders of magnitude out of the box.  When this run could go
+        # fused, default to decimated traces; explicit --trace-every 1
+        # restores exact reference-format per-sweep traces.
+        from automix_tpu.kernels import fused
+        could_fuse = (
+            args.fused != "off"
+            and fused.fused_supported(modelset, cfg)
+            and cfg.n_chains % 1024 == 0
+            and (args.fused == "on"
+                 or jax.devices()[0].platform == "tpu"))
+        if could_fuse:
+            import dataclasses
+            cfg = dataclasses.replace(cfg, trace_every=16)
+            print("Tracing every 16th sweep to keep the fused engine "
+                  "(pass --trace-every 1 for exact per-sweep traces).")
     am = AMSampler(modelset, cfg)
 
     ckpt_path = f"{args.fname}_ckpt.npz"

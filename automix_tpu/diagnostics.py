@@ -50,12 +50,22 @@ def sokal_iact(x):
     return tau, var, m, rho
 
 
-def sokal_batched(traces):
+def sokal_batched(traces, stride: int = 1):
     """IACT over a [nsweep, n_chains] batch of model-index traces.
 
     Returns dict with per-chain tau plus summary stats.  The series length
     is truncated to the largest power of two (the reference's nkeep
     discipline, automix.c:367-370), capped at 2^20 (logwrite.c:359).
+
+    ``stride`` is the number of sweeps between consecutive trace entries
+    (``RunStats.trace_stride``; 1 for per-sweep traces, ``trace_every``
+    for decimated fused-engine traces).  The periodogram sees the thinned
+    series, so its raw tau is in units of ``stride`` sweeps; all reported
+    tau values are scaled by ``stride`` into **sweep** units — the units
+    the reference's ``_log.data`` tau uses (logwrite.c:354-403 runs on a
+    per-``nsokal``-sweep series and reports tau*nsokal implicitly via
+    nsokal=1 in the library path).  ``rho``/``m`` stay in thinned-lag
+    units (lag i of ``rho`` is ``i*stride`` sweeps apart).
     """
     traces = np.asarray(traces, np.float32)
     if traces.ndim == 1:
@@ -64,7 +74,7 @@ def sokal_batched(traces):
     nkeep = 1 << min(20, int(np.log2(max(n, 4))))
     x = jnp.asarray(traces[n - nkeep:].T)          # [n_chains, nkeep]
     tau, var, m, rho = jax.jit(sokal_iact)(x)
-    tau = np.asarray(tau)
+    tau = np.asarray(tau) * stride
     return {
         "tau": tau,
         "tau_mean": float(tau.mean()),
@@ -73,6 +83,7 @@ def sokal_batched(traces):
         "m": np.asarray(m),
         "rho": np.asarray(rho),
         "nkeep": nkeep,
+        "stride": stride,
     }
 
 
@@ -99,16 +110,20 @@ def split_rhat(traces):
     return float(np.sqrt((hn - 1) / hn + b / (hn * w)))
 
 
-def ess(traces):
+def ess(traces, stride: int = 1):
     """Cross-chain effective sample size of a [nsweep, n_chains] batch:
-    total draws deflated by the mean Sokal IACT (tau already uses the
-    reference's sum-over-all-lags convention, so ESS = N / max(tau, 1))."""
+    total sweeps deflated by the mean Sokal IACT in sweep units (tau
+    already uses the reference's sum-over-all-lags convention, so
+    ESS = N_sweeps / max(tau_sweeps, 1)).  ``stride`` is the thinning of
+    the trace (``RunStats.trace_stride``); both the total and tau scale
+    by it, so ESS of a well-mixed chain is thinning-invariant until the
+    stride exceeds tau."""
     x = np.asarray(traces)
     if x.ndim == 1:
         x = x[:, None]
-    res = sokal_batched(x)
-    total = x.shape[0] * x.shape[1]
-    return total / max(res["tau_mean"], 1.0)
+    res = sokal_batched(x, stride=stride)
+    total = x.shape[0] * stride * x.shape[1]
+    return total / max(res["tau_mean"], float(stride), 1.0)
 
 
 def acceptance_rates(stats):

@@ -66,10 +66,13 @@ def report_rjmcmc_run(fname: str, sampler, mode: int = 0,
     st = sampler.stats
     write_pk_file(f"{fname}_pk.data", st)
     write_k_file(f"{fname}_k.data", st)
-    write_lp_file(f"{fname}_lp.data", st)
+    write_lp_file(f"{fname}_lp.data", st, sampler)
     sokal = None
     if st.k_trace is not None:
-        sokal = diagnostics.sokal_batched(st.k_trace)
+        # trace_stride scales tau into sweep units when the trace is
+        # decimated (trace_every > 1).
+        sokal = diagnostics.sokal_batched(st.k_trace,
+                                          stride=st.trace_stride)
     write_log_file(f"{fname}_log.data", sampler, mode, nsweep2,
                    nsweep or st.nsweeps, sokal)
     if sokal is not None:
@@ -87,16 +90,43 @@ def write_k_file(path: str, st):
             f.write(f"{int(k) + 1}\n")
 
 
-def write_lp_file(path: str, st):
+def write_lp_file(path: str, st, sampler=None):
     """Log-posterior trace (logwrite.c:162-172).  The reference writes two
-    columns (lp, llh); the library path never fills the second
-    (automix.c:102), so we duplicate lp."""
+    columns (lp, llh); its library path never fills the second
+    (automix.c:102).  Here the second column is the model's ``loglik``
+    (the v1 contract's llh out-parameter, user.h:19) evaluated on chain
+    0's trace when every model supplies one, else a duplicate of lp
+    (the reference library behavior)."""
     lp = st.logp_trace
+    llh = _loglik_trace(st, sampler) if sampler is not None else None
     with open(path, "w") as f:
         if lp is None:
             return
-        for v in lp:
-            f.write(f"{v:f} {v:f}\n")
+        if llh is None:
+            llh = lp
+        for v, w in zip(lp, llh):
+            f.write(f"{v:f} {w:f}\n")
+
+
+def _loglik_trace(st, sampler):
+    """[nsweep] likelihood trace of chain 0, from ``Model.loglik`` applied
+    to the recorded (k, theta) trace; None unless every model has one."""
+    models = sampler.modelset.models
+    if (st.k0_trace is None or st.theta0_trace is None
+            or any(m.loglik is None for m in models)):
+        return None
+    import jax
+    import jax.numpy as jnp
+    k0 = np.asarray(st.k0_trace).astype(np.int64).reshape(-1)
+    th = np.asarray(st.theta0_trace)
+    out = np.zeros(k0.shape[0], np.float64)
+    for k, m in enumerate(models):
+        sel = k0 == k
+        if not sel.any():
+            continue
+        f = jax.vmap(lambda t, m=m: m.loglik(t[: m.dim]))
+        out[sel] = np.asarray(f(jnp.asarray(th[sel])), np.float64)
+    return out
 
 
 def write_pk_file(path: str, st):

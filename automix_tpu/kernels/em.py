@@ -359,7 +359,6 @@ def fit_autorj(samples, dim):
     xc = (samples - mean) * coord_mask
     cov = jnp.einsum("ni,nj->ij", xc, xc) / (N - 1)   # automix.c:1029
     B0 = linalg.chol(cov, dim=dim, jitter=1e-6)
-    lmax_axis = None  # single component
     return mean, B0
 
 

@@ -24,7 +24,12 @@ length is still marginally uniform{1..hmc_steps} (any state-independent
 length distribution preserves detailed balance), but the batch pays
 exactly the drawn number of gradient evaluations instead of always
 paying ``hmc_steps`` with the surplus masked off — an expected ~2x
-saving on the dominant cost.
+saving on the dominant cost.  The shared draw does correlate chains
+*within* one sweep (they take equal-length trajectories); per-chain
+estimates remain unbiased, but cross-chain variance estimates at a
+fixed sweep are mildly optimistic.  The length comes from a replicated
+sweep-indexed stream (rjmcmc.py), so sharded and unsharded runs take
+identical trajectories.
 """
 
 from __future__ import annotations

@@ -279,10 +279,19 @@ def build_sweep_all(modelset: ModelSet, cfg: EngineConfig, burning: bool,
                 eps_k = scale * sig_k
             else:       # per-model tuned multipliers (kernels/hmc.py)
                 eps_k = (onehot_k @ scale)[:, None] * sig_k
-            # shared trajectory length from a state-independent uniform
-            # (chain 0's "extra" slot) — see kernels/hmc.py module doc
+            # Shared trajectory length from a *replicated* sweep-indexed
+            # stream (see kernels/hmc.py module doc).  Deliberately NOT a
+            # chain's random slot: under shard_map each shard's row 0 is a
+            # different global chain, so a chain-indexed draw would give
+            # every shard a different length and sharded runs would
+            # diverge from unsharded ones.  fold_in(key(seed), sweep) is
+            # identical on every shard and independent of the chain draws.
             from automix_tpu.kernels.hmc import sample_n_steps
-            nst = sample_n_steps(cfg, us("extra")[0, 0])
+            len_key = jax.random.fold_in(
+                jax.random.PRNGKey(cfg.seed ^ 0x177A7EC7),
+                chains.sweep.astype(jnp.uint32))
+            nst = sample_n_steps(
+                cfg, jax.random.uniform(len_key, (), dtype))
             theta, logp, acc = hmc_move(us("rwm")[:, 0], nst,
                                         z[:, :D], k, theta, logp, eps_k,
                                         mask_k)

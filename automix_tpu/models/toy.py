@@ -96,11 +96,17 @@ def toy1_set(**kw) -> ModelSet:
             Bs=B1,
         ) + jnp.log(0.7)
 
+    # loglik = the mixture density alone (the v1 contract's llh
+    # out-parameter, user.h:19): logp minus the model-prior weight that
+    # usertoy1.c:96-100 folds into the posterior.  Feeds the second
+    # column of _lp.data (io/reports.py:_loglik_trace).
     return ModelSet([
         Model("toy1_k1", 1, logp_m0,
+              loglik=lambda th: logp_m0(th) - jnp.log(0.3),
               logp_cols=_mixture_cols([0.2, 0.8], [[-3.0], [2.0]],
                                       [[[2.0]], [[1.0]]], np.log(0.3))),
         Model("toy1_k2", 2, logp_m1,
+              loglik=lambda th: logp_m1(th) - jnp.log(0.7),
               logp_cols=_mixture_cols(
                   [1 / 3, 1 / 3, 1 / 3],
                   [[0.0, 3.0], [-4.0, 1.0], [4.0, 1.0]], B1, np.log(0.7))),

@@ -135,12 +135,13 @@ class AMSampler:
     def _run_sweeps(self, nsweeps: int, burning: bool, collect: bool,
                     stats: Optional[RunStats]):
         # Decimated tracing: with trace_every > 1, traced runs use the
-        # fused engine in stride-length chunks, and the per-sweep traces
-        # become boundary snapshots of the chain state (config.py
-        # trace_every) — the Sokal-style thinning of automix.c:122-124
-        # applied to every trace.
+        # fast (collect=False) runner — fused when eligible, XLA otherwise
+        # — in stride-length chunks, and the per-sweep traces become
+        # boundary snapshots of the chain state (config.py trace_every) —
+        # the Sokal-style thinning of automix.c:122-124 applied to every
+        # trace.  Downstream tau/ESS scale by RunStats.trace_stride.
         stride = self.cfg.trace_every
-        decimate = (collect and stride > 1 and self._fused_eligible(False))
+        decimate = collect and stride > 1
         runner = self._runner(burning, collect and not decimate)
         chunk_len = stride if decimate else self.cfg.sweep_chunk
         done = 0

@@ -32,8 +32,10 @@ import numpy as np
 def c_reference_sweeps_per_s() -> float:
     """In-situ C baseline (bench/measure_c_baseline.py); falls back to the
     committed measurement if the reference tree or compiler is missing."""
+    import os
     import sys
-    sys.path.insert(0, "bench")
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench"))
     from measure_c_baseline import measure
     m = measure()
     print(f"# C baseline: {m['sweeps_per_s']:.3e} sweeps/s "

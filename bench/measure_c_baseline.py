@@ -15,13 +15,35 @@ from __future__ import annotations
 
 import json
 import os
-import socket
 import subprocess
 import tempfile
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _CACHE = os.path.join(_HERE, "c_baseline_measured.json")
 _REF_LIB = "/root/reference/src/libautomix"
+
+
+def _hw_key() -> str:
+    """Cache key: CPU model + compiler version.  Container hostnames are
+    commonly reused or randomized across different physical hosts, so a
+    hostname key can silently serve a stale baseline from other hardware;
+    the CPU model name plus cc version pins what the measurement actually
+    depends on."""
+    cpu = "unknown-cpu"
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.lower().startswith("model name"):
+                    cpu = line.split(":", 1)[1].strip()
+                    break
+    except OSError:
+        pass
+    try:
+        cc = subprocess.run(["cc", "--version"], capture_output=True,
+                            timeout=10).stdout.decode().splitlines()[0]
+    except Exception:  # noqa: BLE001 - key is best-effort
+        cc = "unknown-cc"
+    return f"{cpu} | {cc}"
 
 # Last measured value committed with the repo (v5e host CPU, gcc -O3,
 # 2026-08; matches the round-3 judge's independent 1.39M measurement).
@@ -30,11 +52,12 @@ FALLBACK_SWEEPS_PER_S = 1.39e6
 
 def measure(nsweep: int = 200_000, force: bool = False) -> dict:
     """Returns {"sweeps_per_s": float, "source": "measured"|"cache"|"fallback"}."""
-    host = socket.gethostname()
+    hw = _hw_key()
     if not force and os.path.exists(_CACHE):
         with open(_CACHE) as f:
             out = json.load(f)
-        if out.get("host") == host:   # a cache from another host is stale
+        # A cache from different hardware or a different compiler is stale.
+        if out.get("hw") == hw:
             out["source"] = "cache"
             return out
 
@@ -58,7 +81,7 @@ def measure(nsweep: int = 200_000, force: bool = False) -> dict:
                 if best is None or m["sweeps_per_s"] > best["sweeps_per_s"]:
                     best = m
         best["source"] = "measured"
-        best["host"] = host
+        best["hw"] = hw
         with open(_CACHE, "w") as f:
             json.dump(best, f)
         return best

