@@ -76,10 +76,17 @@ _TWO_PI = 6.283185307179586
 
 # Max lanes per grid block (chains per kernel instance): 8 sublanes x 512.
 _MAX_BLK = 4096
-# Unroll budget: the kernel emits O(K*L*D^2) vector ops per sweep; beyond
-# this the trace blows up and VMEM fills with live w-tiles.
-_MAX_KLD = 512
-_MAX_D = 6
+# Unroll budget on the triangular standardize/de-standardize loops: the
+# kernel emits ~4 x L x sum_m d_m(d_m+3)/2 vector ops per sweep for the
+# allocation passes; beyond this the Mosaic trace blows up.  (The budget
+# uses each model's TRUE dim, not dmax — a K=2 family at dims 16/10 costs
+# a fraction of K*L*dmax^2.)
+_MAX_TRI = 8192
+_MAX_D = 16
+# Sweeps between full-density refreshes of an incremental cache (models
+# with a FusedColsDensity): bounds float32 drift of the incrementally
+# updated sufficient statistics to a handful of sweeps.
+_REFRESH = 16
 
 
 def _triple32(x):
@@ -174,16 +181,60 @@ def make_logpost_cols(modelset):
     return logpost_cols
 
 
-def _est_tiles(K: int, L: int, D: int) -> int:
+class _StatelessDensity:
+    """Default FusedColsDensity wrapping a stateless column density: no
+    cache, every evaluation is a fresh ``logpost_cols`` call (bitwise
+    identical to the pre-interface kernel)."""
+
+    n_cache = 0
+
+    def __init__(self, logpost_cols):
+        self._cols = logpost_cols
+
+    def full(self, mks, rows):
+        return self._cols(mks, rows), ()
+
+    def coord(self, j, mks, rows, old_j, cache):
+        return self._cols(mks, rows), ()
+
+
+def make_density(modelset):
+    """The fused kernel's density object.
+
+    A model set may supply ``fused_density`` — an object with ``n_cache``
+    (number of per-lane cache tiles), ``full(mks, rows) -> (lp, cache)``
+    (fresh evaluation + fresh cache) and ``coord(j, mks, rows, old_j,
+    cache) -> (lp, cache')`` (evaluation after ONLY coordinate j changed
+    from ``old_j`` to ``rows[j]``, reusing/updating the cache; tiles it
+    did not touch must be returned as the SAME objects so the kernel can
+    skip their accept-blends).  This is how matmul-heavy likelihoods
+    (e.g. the DDI sufficient-statistic class form, models/ddi_cols.py)
+    amortize their alpha-feature contraction across the componentwise
+    sweep instead of paying it per coordinate.  Everything else wraps its
+    ``logp_cols`` in the stateless adapter."""
+    density = getattr(modelset, "fused_density", None)
+    if density is not None:
+        return density
+    return _StatelessDensity(make_logpost_cols(modelset))
+
+
+def _est_tiles(modelset, L: int) -> int:
     """Estimated live per-lane float32 tiles of the sweep body (used for
-    VMEM-aware block sizing and the pooled-pk single-block check)."""
-    return (K * L * D + 2 * K * D + 2 * K + 3 * D
+    VMEM-aware block sizing and the pooled-pk single-block check).  The
+    w_ml standardized-residual tiles count each model's TRUE dim; an
+    incremental density adds its cache tiles."""
+    K, D = modelset.nmodels, modelset.dmax
+    w_tiles = L * int(sum(int(d) for d in modelset.dims))
+    n_cache = getattr(getattr(modelset, "fused_density", None),
+                      "n_cache", 0)
+    return (w_tiles + n_cache + 2 * K * D + 2 * K + 3 * D
             + (3 * D + 2 * L + K + 1) + 60)
 
 
 def fused_supported(modelset, cfg: EngineConfig) -> bool:
     """Static feature check (independent of proposal size / call mode)."""
-    has_cols = (getattr(modelset, "batched_logpost_cols", None) is not None
+    has_cols = (getattr(modelset, "fused_density", None) is not None
+                or getattr(modelset, "batched_logpost_cols", None) is not None
                 or all(m.logp_cols is not None for m in modelset.models))
     return (
         has_cols
@@ -197,9 +248,10 @@ def fused_supported(modelset, cfg: EngineConfig) -> bool:
 def fused_eligible(modelset, cfg: EngineConfig, collect: bool, mesh,
                    lmax: int) -> bool:
     """Full eligibility for a concrete runner: static support + no traces
-    + an unroll budget on the K*L*D loops.  With a mesh the kernel runs
-    per shard under shard_map (chunk statistics psum'd), so every shard's
-    local chain count must tile into 8x128 lane blocks."""
+    + an unroll budget on the triangular loops + a VMEM floor.  With a
+    mesh the kernel runs per shard under shard_map (chunk statistics
+    psum'd), so every shard's local chain count must tile into 8x128 lane
+    blocks."""
     if cfg.fused == "off" or collect:
         return False
     if not fused_supported(modelset, cfg):
@@ -207,22 +259,35 @@ def fused_eligible(modelset, cfg: EngineConfig, collect: bool, mesh,
     n_shards = int(mesh.devices.size) if mesh is not None else 1
     if cfg.n_chains % (n_shards * 1024) != 0:
         return False
-    K, D = modelset.nmodels, modelset.dmax
-    if K * max(lmax, 1) * D > _MAX_KLD:
+    L = max(lmax, 1)
+    tri = sum(int(d) * (int(d) + 3) // 2 for d in modelset.dims)
+    if L * tri > _MAX_TRI:
+        return False
+    # even the minimum 1024-lane block must fit the VMEM budget
+    if _est_tiles(modelset, L) * 4 * 1024 > 8 * 1024 * 1024:
         return False
     if cfg.pk_mode == "pooled":
         # The shared pk updates from the global per-sweep visit histogram
         # (automix.c:1258-1267); inside the kernel that is a cross-lane
         # reduction, which only sees the whole chain population when all
-        # chains live in ONE lane block on one shard.
-        S_local = cfg.n_chains
-        if (mesh is not None
-                or choose_block(S_local, _est_tiles(K, max(lmax, 1), D))
-                != S_local):
-            return False
+        # chains live in ONE lane block on one shard.  Multi-block and
+        # sharded pooled runs use the semi-fused per-sweep runner instead
+        # (build_pooled_sweep_runner) — also eligible.
+        pass
     if cfg.fused == "auto":
         return jax.devices()[0].platform == "tpu"
     return True  # "on": forced (interpret off-TPU)
+
+
+def pooled_single_block(modelset, cfg: EngineConfig, mesh, lmax: int) -> bool:
+    """True when a pooled-pk run fits ONE lane block on one unsharded
+    device, i.e. the fully-fused kernel can do the pooled update as an
+    in-kernel cross-lane reduction; larger/sharded pooled runs take the
+    semi-fused per-sweep runner."""
+    if mesh is not None:
+        return False
+    S = cfg.n_chains
+    return choose_block(S, _est_tiles(modelset, max(lmax, 1))) == S
 
 
 def build_fused_chunk_runner(modelset, cfg: EngineConfig, burning: bool,
@@ -268,7 +333,8 @@ def build_fused_chunk_runner(modelset, cfg: EngineConfig, burning: bool,
                 * jnp.log1p(w * w * np.float32(1.0 / dof))
         return -0.5 * w * w - HALF_LOG_2PI
 
-    logpost_cols = make_logpost_cols(modelset)
+    density = make_density(modelset)
+    NC = density.n_cache
 
     def lse_list(ls):
         m = ls[0]
@@ -292,13 +358,18 @@ def build_fused_chunk_runner(modelset, cfg: EngineConfig, burning: bool,
     pooled_pk = cfg.pk_mode == "pooled"
 
     @functools.lru_cache(maxsize=None)
-    def _compiled(n_sweeps: int, L: int, S: int):
-        BLK = choose_block(S, _est_tiles(K, L, D))
-        if pooled_pk and BLK != S:
+    def _built(n_sweeps: int, L: int, S: int, in_adapt: bool):
+        """Trace the pallas kernel for an ``n_sweeps`` chunk over ``S``
+        local chains.  ``in_adapt``: do the pk diminishing adaptation
+        inside the kernel (the fully-fused mode); False leaves pk frozen
+        for the semi-fused pooled runner, which adapts the shared pk
+        between per-sweep calls.  Returns (call, BLK, W, G, G8)."""
+        BLK = choose_block(S, _est_tiles(modelset, L))
+        if pooled_pk and in_adapt and BLK != S:
             raise ValueError(
-                f"pooled pk needs all {S} chains in one lane block "
-                f"(got block {BLK}); fused_eligible should have routed "
-                "this run to the XLA engine")
+                f"in-kernel pooled pk needs all {S} chains in one lane "
+                f"block (got block {BLK}); the runner should have taken "
+                "the semi-fused per-sweep path")
         W = BLK // 8
         G = S // BLK
         G8 = G * 8
@@ -365,9 +436,17 @@ def build_fused_chunk_runner(modelset, cfg: EngineConfig, burning: bool,
             ts0 = (zf,) * (K * D)
             tq0 = (zf,) * (K * D)
             cnt0 = (zi,) * 6
+            if NC:
+                # fresh incremental-density cache for the chunk's start
+                # state (a chunk boundary is also a drift refresh)
+                mks_in = [(kk0 == m).astype(jnp.float32) for m in range(K)]
+                _, cache0 = density.full(mks_in, th0)
+            else:
+                cache0 = ()
 
             def body(t_rel, carry):
-                kk, logp, th, pk, pkl, nri, ks, ts, tq, cnt = carry
+                (kk, logp, th, pk, pkl, nri, cache, ks, ts, tq,
+                 cnt) = carry
                 t = sweep0 + t_rel
                 words = draw_words(t)
                 u_rwm = [_u01(words[s_urwm + d]) for d in range(D)]
@@ -424,44 +503,53 @@ def build_fused_chunk_runner(modelset, cfg: EngineConfig, burning: bool,
 
                 # ---- (a) within-model move (automix.c:1054-1085) --------
                 def block_move(args):
-                    th, logp = args
+                    th, logp, cache = args
                     prop = tuple(th[d] + sig_k[d] * z_rwm[d]
                                  for d in range(D))
-                    lpn = logpost_cols(mks, prop)
+                    lpn, cache_n = density.full(mks, prop)
                     # Arithmetic blends beat selects by ~15% here, and are
                     # safe because every operand is provably finite: draws
                     # are clamped (_u01), densities sanitized
-                    # (logpost_cols), tables finite -> 0 * x never sees an
-                    # inf/NaN.  (With unclamped draws a rejected inf
-                    # proposal WOULD poison the carry via 0 * inf.)
+                    # (logpost_cols / the density's own clamp), tables
+                    # finite -> 0 * x never sees an inf/NaN.  (With
+                    # unclamped draws a rejected inf proposal WOULD poison
+                    # the carry via 0 * inf.)
                     acc = (u_rwm[0] < _accept(lpn - logp)).astype(
                         jnp.float32)
                     th = tuple(th[d] + acc * (prop[d] - th[d])
                                for d in range(D))
                     logp = logp + acc * (lpn - logp)
-                    return (th, logp, acc.astype(jnp.int32), zi + 1, zi, zi)
+                    cache = tuple(c + acc * (cn - c)
+                                  for c, cn in zip(cache, cache_n))
+                    return (th, logp, cache,
+                            acc.astype(jnp.int32), zi + 1, zi, zi)
 
                 def comp_move(args):
-                    th, logp = args
+                    th, logp, cache = args
                     nacc = zi
                     ntry = zi
                     for j in range(D):
                         prop = tuple(th[d] + (sig_k[d] * z_rwm[d]
                                               if d == j else 0.0)
                                      for d in range(D))
-                        lpn = logpost_cols(mks, prop)
+                        lpn, cache_n = density.coord(j, mks, prop, th[j],
+                                                     cache)
                         acc = ((u_rwm[j] < _accept(lpn - logp))
                                & (active[j] > 0.0)).astype(jnp.float32)
                         th = tuple(th[d] + acc * (prop[d] - th[d])
                                    for d in range(D))
                         logp = logp + acc * (lpn - logp)
+                        # tiles the density did not touch come back as the
+                        # SAME objects — skip their accept-blends
+                        cache = tuple(c if cn is c else c + acc * (cn - c)
+                                      for c, cn in zip(cache, cache_n))
                         nacc = nacc + acc.astype(jnp.int32)
                         ntry = ntry + active[j].astype(jnp.int32)
-                    return (th, logp, zi, zi, nacc, ntry)
+                    return (th, logp, cache, zi, zi, nacc, ntry)
 
                 do_block = (t % 10) == 0            # automix.c:95,148
-                th, logp, naccb, ntryb, naccs, ntrys = jax.lax.cond(
-                    do_block, block_move, comp_move, (th, logp))
+                th, logp, cache, naccb, ntryb, naccs, ntrys = jax.lax.cond(
+                    do_block, block_move, comp_move, (th, logp, cache))
 
                 # ---- (b) reversible jump (automix.c:1087-1256) ----------
                 # Forward allocation: standardized residuals w_{m,l} for
@@ -617,7 +705,7 @@ def build_fused_chunk_runner(modelset, cfg: EngineConfig, burning: bool,
                                   for li in range(L)) - lse_list(logits_n)
 
                 # accept (automix.c:1237-1256)
-                lpn = logpost_cols(mkn, thn)
+                lpn, cache_rj = density.full(mkn, thn)
                 loglam_k_l = sum(mks[m] * mls[li] * loglam_ref[m, li]
                                  for m in range(K) for li in range(L))
                 loglam_kn_ln = sum(mkn[m] * mln[li] * loglam_ref[m, li]
@@ -636,9 +724,27 @@ def build_fused_chunk_runner(modelset, cfg: EngineConfig, burning: bool,
                 th = tuple(th[d] + accf * (thn[d] - th[d])
                            for d in range(D))
                 logp = logp + accf * (lpn - logp)
+                cache = tuple(c + accf * (cn - c)
+                              for c, cn in zip(cache, cache_rj))
+                if NC:
+                    # Periodic full-density refresh: the incrementally
+                    # updated cache (and logp) accumulate float32 rounding
+                    # across accepted coordinate moves; recomputing both
+                    # from the current state every _REFRESH sweeps bounds
+                    # the drift window.  Keyed on the GLOBAL sweep so a
+                    # chunk-boundary-aligned resume replays bitwise.
+                    def _do_refresh(args):
+                        _logp, _cache = args
+                        mks2 = [(kk == m).astype(jnp.float32)
+                                for m in range(K)]
+                        return density.full(mks2, th)
+
+                    logp, cache = jax.lax.cond(
+                        (t % _REFRESH) == (_REFRESH - 1),
+                        _do_refresh, lambda a: a, (logp, cache))
 
                 # ---- (c) pk adaptation + re-init (automix.c:1258-1281) --
-                if adapt and K > 1:
+                if in_adapt and K > 1:
                     tf = t.astype(jnp.float32)
                     gamma = jnp.exp((-2.0 / 3.0) * jnp.log(tf + 1.0))
                     newpk = []
@@ -676,11 +782,13 @@ def build_fused_chunk_runner(modelset, cfg: EngineConfig, burning: bool,
                            for m in range(K) for d in range(D))
                 cnt = (cnt[0] + naccb, cnt[1] + ntryb, cnt[2] + naccs,
                        cnt[3] + ntrys, cnt[4] + acci, cnt[5] + 1)
-                return (kk, logp, th, pk, pkl, nri, ks, ts, tq, cnt)
+                return (kk, logp, th, pk, pkl, nri, cache, ks, ts, tq, cnt)
 
-            kk, logp, th, pk, pkl, nri, ks, ts, tq, cnt = jax.lax.fori_loop(
+            (kk, logp, th, pk, pkl, nri, _, ks, ts, tq,
+             cnt) = jax.lax.fori_loop(
                 0, n_sweeps, body,
-                (kk0, lp0, th0, pk0, pkl0, nri0, ks0, ts0, tq0, cnt0))
+                (kk0, lp0, th0, pk0, pkl0, nri0, cache0,
+                 ks0, ts0, tq0, cnt0))
 
             k_o[:] = kk
             lp_o[:] = logp
@@ -740,67 +848,44 @@ def build_fused_chunk_runner(modelset, cfg: EngineConfig, burning: bool,
             ],
             interpret=interpret,
         )
+        return call, BLK, W, G, G8
 
-        dims_f = jnp.asarray(modelset.dims, f32)
+    f32 = jnp.float32
+    dims_f = jnp.asarray(modelset.dims, f32)
 
-        def local_run(chains: Chains, prop: Proposal):
-            B = jnp.tril(prop.B.astype(f32))
-            eye = jnp.broadcast_to(jnp.eye(D, dtype=f32), B.shape)
-            binv = jax.lax.linalg.triangular_solve(
-                B, eye, left_side=True, lower=True)
-            lam = prop.lam.astype(f32)
-            loglam = jnp.where(lam > 0, jnp.log(jnp.maximum(lam, 1e-38)),
-                               jnp.asarray(NEG_INF, f32))
-            logdet = prop.logdetB.astype(f32)
-            abase = loglam - logdet - 0.5 * dims_f[:, None] * _LOG_2PI
-            if mesh is not None:
-                from automix_tpu.parallel.mesh import CHAIN_AXIS
-                shard = jax.lax.axis_index(CHAIN_AXIS).astype(jnp.int32)
-            else:
-                shard = jnp.int32(0)
-            scal = jnp.stack([jnp.int32(seed_static),
-                              chains.sweep.astype(jnp.int32),
-                              shard * G, shard * S])
-            outs = call(
-                scal,
-                chains.k.reshape(G8, W),
-                chains.theta.T.reshape(D, G8, W),
-                chains.logp.reshape(G8, W),
-                chains.pk.T.reshape(K, G8, W),
-                chains.pkllim.reshape(G8, W),
-                chains.nreinit.reshape(G8, W),
-                prop.sig.astype(f32), loglam, abase, logdet,
+    def _prep_tables(prop: Proposal, L: int):
+        """Per-chunk proposal tables: inverse factor, log-weights, and the
+        allocation-logit base (shared by both runner modes)."""
+        B = jnp.tril(prop.B.astype(f32))
+        eye = jnp.broadcast_to(jnp.eye(D, dtype=f32), B.shape)
+        binv = jax.lax.linalg.triangular_solve(
+            B, eye, left_side=True, lower=True)
+        lam = prop.lam.astype(f32)
+        loglam = jnp.where(lam > 0, jnp.log(jnp.maximum(lam, 1e-38)),
+                           jnp.asarray(NEG_INF, f32))
+        logdet = prop.logdetB.astype(f32)
+        abase = loglam - logdet - 0.5 * dims_f[:, None] * _LOG_2PI
+        return (prop.sig.astype(f32), loglam, abase, logdet,
                 prop.mu.astype(f32).reshape(K * L, D),
                 binv.reshape(K * L, D * D),
-                B.reshape(K * L, D * D),
-            )
-            (k2, th2, lp2, pk2, pkl2, nri2, ks2, ts2, tq2, cnt2) = outs
-            chains_out = chains.replace(
-                k=k2.reshape(S),
-                theta=th2.reshape(D, S).T,
-                logp=lp2.reshape(S),
-                pk=pk2.reshape(K, S).T,
-                pkllim=pkl2.reshape(S),
-                nreinit=nri2.reshape(S),
-                sweep=chains.sweep + n_sweeps,
-            )
-            cnt_tot = cnt2.sum(axis=(1, 2))
-            chunk = {
-                "ksummary": ks2.sum(axis=(1, 2)),
-                "theta_sum": ts2.sum(axis=(1, 2)).reshape(K, D),
-                "theta_sqsum": tq2.sum(axis=(1, 2)).reshape(K, D),
-                "naccrwmb": cnt_tot[0], "ntryrwmb": cnt_tot[1],
-                "naccrwms": cnt_tot[2], "ntryrwms": cnt_tot[3],
-                "nacctd": cnt_tot[4], "ntrytd": cnt_tot[5],
-            }
-            if mesh is not None:
-                chunk = jax.tree.map(
-                    lambda v: jax.lax.psum(v, CHAIN_AXIS), chunk)
-            return chains_out, chunk
+                B.reshape(K * L, D * D))
 
+    def _shard_index():
+        if mesh is not None:
+            from automix_tpu.parallel.mesh import CHAIN_AXIS
+            return jax.lax.axis_index(CHAIN_AXIS).astype(jnp.int32)
+        return jnp.int32(0)
+
+    def _finish_chunk(chunk):
+        if mesh is not None:
+            from automix_tpu.parallel.mesh import CHAIN_AXIS
+            chunk = jax.tree.map(
+                lambda v: jax.lax.psum(v, CHAIN_AXIS), chunk)
+        return chunk
+
+    def _wrap(local_run):
         if mesh is None:
             return jax.jit(local_run)
-
         from jax.sharding import PartitionSpec as P
 
         from automix_tpu.parallel.mesh import CHAIN_AXIS
@@ -821,11 +906,163 @@ def build_fused_chunk_runner(modelset, cfg: EngineConfig, burning: bool,
             out_specs=(chains_spec, rep_p),
             check_vma=False))
 
+    @functools.lru_cache(maxsize=None)
+    def _compiled(n_sweeps: int, L: int, S: int):
+        """Fully-fused runner: the whole chunk inside one kernel."""
+        call, BLK, W, G, G8 = _built(n_sweeps, L, S, adapt)
+
+        def local_run(chains: Chains, prop: Proposal):
+            tabs = _prep_tables(prop, L)
+            shard = _shard_index()
+            scal = jnp.stack([jnp.int32(seed_static),
+                              chains.sweep.astype(jnp.int32),
+                              shard * G, shard * S])
+            outs = call(
+                scal,
+                chains.k.reshape(G8, W),
+                chains.theta.T.reshape(D, G8, W),
+                chains.logp.reshape(G8, W),
+                chains.pk.T.reshape(K, G8, W),
+                chains.pkllim.reshape(G8, W),
+                chains.nreinit.reshape(G8, W),
+                *tabs,
+            )
+            (k2, th2, lp2, pk2, pkl2, nri2, ks2, ts2, tq2, cnt2) = outs
+            chains_out = chains.replace(
+                k=k2.reshape(S),
+                theta=th2.reshape(D, S).T,
+                logp=lp2.reshape(S),
+                pk=pk2.reshape(K, S).T,
+                pkllim=pkl2.reshape(S),
+                nreinit=nri2.reshape(S),
+                sweep=chains.sweep + n_sweeps,
+            )
+            cnt_tot = cnt2.sum(axis=(1, 2))
+            chunk = {
+                "ksummary": ks2.sum(axis=(1, 2)),
+                "theta_sum": ts2.sum(axis=(1, 2)).reshape(K, D),
+                "theta_sqsum": tq2.sum(axis=(1, 2)).reshape(K, D),
+                "naccrwmb": cnt_tot[0], "ntryrwmb": cnt_tot[1],
+                "naccrwms": cnt_tot[2], "ntryrwms": cnt_tot[3],
+                "nacctd": cnt_tot[4], "ntrytd": cnt_tot[5],
+            }
+            return chains_out, _finish_chunk(chunk)
+
+        return _wrap(local_run)
+
+    @functools.lru_cache(maxsize=None)
+    def _compiled_pooled(n_sweeps: int, L: int, S: int):
+        """Semi-fused pooled-pk runner for multi-block / sharded runs.
+
+        The reference adapts ONE shared pk vector from the global
+        per-sweep visit histogram (automix.c:1258-1281).  When the chain
+        population spans several lane blocks (or shards), no single
+        kernel instance sees the whole histogram within a sweep, so the
+        chunk becomes a ``lax.scan`` over sweeps: each step runs the
+        one-sweep fused kernel (pk frozen in-kernel), reduces the [K]
+        histogram across blocks — and shards, with one integer ``psum``
+        (exact, layout-invariant) — and applies the Robbins-Monro update
+        + re-init safeguard to the shared pk in XLA.  The state makes one
+        HBM round-trip per sweep (~10x the fully-fused state traffic but
+        still ~30x below the XLA engine's per-op intermediates), and the
+        formulas match the in-kernel pooled branch bitwise, so a
+        single-block run produces identical trajectories either way."""
+        call, BLK, W, G, G8 = _built(1, L, S, False)
+        n_shards = int(mesh.devices.size) if mesh is not None else 1
+        inv_Sg = np.float32(1.0 / (S * n_shards))
+
+        def local_run(chains: Chains, prop: Proposal):
+            tabs = _prep_tables(prop, L)
+            shard = _shard_index()
+            if mesh is not None:
+                from automix_tpu.parallel.mesh import CHAIN_AXIS
+
+            def step(carry, t):
+                (k, th, lp, pk_vec, pkl, nri,
+                 ks_a, ts_a, tq_a, cnt_a) = carry
+                scal = jnp.stack([jnp.int32(seed_static), t,
+                                  shard * G, shard * S])
+                outs = call(
+                    scal, k, th, lp,
+                    jnp.broadcast_to(pk_vec[:, None, None], (K, G8, W)),
+                    jnp.broadcast_to(pkl, (G8, W)),
+                    jnp.broadcast_to(nri, (G8, W)),
+                    *tabs,
+                )
+                (k2, th2, lp2, _pk2, _pkl2, _nri2, ks2, ts2, tq2,
+                 cnt2) = outs
+                hist = ks2.sum(axis=(1, 2))           # [K] int32 local
+                ks_a = ks_a + hist
+                ts_a = ts_a + ts2.sum(axis=(1, 2))
+                tq_a = tq_a + tq2.sum(axis=(1, 2))
+                cnt_a = cnt_a + cnt2.sum(axis=(1, 2))
+                if adapt and K > 1:
+                    if mesh is not None:
+                        hist = jax.lax.psum(hist, CHAIN_AXIS)
+                    tf = t.astype(f32)
+                    gamma = jnp.exp((-2.0 / 3.0) * jnp.log(tf + 1.0))
+                    oh = hist.astype(f32) * inv_Sg
+                    newpk = pk_vec + gamma * (oh - pk_vec)
+                    reinit = jnp.any(newpk < pkl)
+                    nri = nri + reinit.astype(jnp.int32)
+                    pkl = jnp.where(reinit,
+                                    1.0 / (10.0 * nri.astype(f32)), pkl)
+                    pk_vec = jnp.where(reinit, jnp.float32(1.0 / K),
+                                       newpk)
+                return (k2, th2, lp2, pk_vec, pkl, nri,
+                        ks_a, ts_a, tq_a, cnt_a), None
+
+            sweep0 = chains.sweep.astype(jnp.int32)
+            init = (chains.k.reshape(G8, W),
+                    chains.theta.T.reshape(D, G8, W),
+                    chains.logp.reshape(G8, W),
+                    chains.pk[0].astype(f32),          # replicated rows
+                    chains.pkllim[0].astype(f32),
+                    chains.nreinit[0],
+                    jnp.zeros((K,), jnp.int32),
+                    jnp.zeros((K * D,), f32),
+                    jnp.zeros((K * D,), f32),
+                    jnp.zeros((6,), jnp.int32))
+            carry, _ = jax.lax.scan(step, init,
+                                    sweep0 + jnp.arange(n_sweeps,
+                                                        dtype=jnp.int32))
+            (k2, th2, lp2, pk_vec, pkl, nri,
+             ks_a, ts_a, tq_a, cnt_a) = carry
+            chains_out = chains.replace(
+                k=k2.reshape(S),
+                theta=th2.reshape(D, S).T,
+                logp=lp2.reshape(S),
+                pk=jnp.broadcast_to(pk_vec[None, :], (S, K)),
+                pkllim=jnp.broadcast_to(pkl, (S,)),
+                nreinit=jnp.broadcast_to(nri, (S,)),
+                sweep=chains.sweep + n_sweeps,
+            )
+            chunk = {
+                "ksummary": ks_a,
+                "theta_sum": ts_a.reshape(K, D),
+                "theta_sqsum": tq_a.reshape(K, D),
+                "naccrwmb": cnt_a[0], "ntryrwmb": cnt_a[1],
+                "naccrwms": cnt_a[2], "ntryrwms": cnt_a[3],
+                "nacctd": cnt_a[4], "ntrytd": cnt_a[5],
+            }
+            return chains_out, _finish_chunk(chunk)
+
+        return _wrap(local_run)
+
     def runner(chains: Chains, prop: Proposal, n_sweeps: int):
         L = int(prop.lam.shape[1])
         S = int(chains.k.shape[0])
         if mesh is not None:
             S = S // int(mesh.devices.size)
+        if pooled_pk and (_FORCE_POOLED_SCAN or mesh is not None
+                          or choose_block(S, _est_tiles(modelset, L)) != S):
+            return _compiled_pooled(n_sweeps, L, S)(chains, prop)
         return _compiled(n_sweeps, L, S)(chains, prop)
 
     return runner
+
+
+# Test hook: force the semi-fused pooled runner even for single-block
+# runs, so its bitwise equivalence with the in-kernel pooled branch can
+# be asserted directly (tests/test_fused.py).
+_FORCE_POOLED_SCAN = False

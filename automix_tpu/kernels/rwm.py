@@ -258,9 +258,14 @@ def run_stage1(modelset: ModelSet, cfg: EngineConfig, key, nsweeps: int,
 
     from automix_tpu.kernels import fused_stage1
     if fused_stage1.stage1_eligible(modelset, cfg, mesh, C):
-        sig, samples, tele_sig, tele_acc, lp = \
-            fused_stage1.run_fused_stage1(modelset, cfg, nsweeps, C,
-                                          init_theta)
+        if mesh is not None:
+            sig, samples, tele_sig, tele_acc, lp = \
+                fused_stage1.run_fused_stage1_sharded(
+                    modelset, cfg, nsweeps, C, init_theta, mesh)
+        else:
+            sig, samples, tele_sig, tele_acc, lp = \
+                fused_stage1.run_fused_stage1(modelset, cfg, nsweeps, C,
+                                              init_theta)
         return sig, samples, {
             "sig_trace": tele_sig,
             "accept_trace": tele_acc,

@@ -81,7 +81,8 @@ class ModelSet:
     """
 
     def __init__(self, models: Sequence[Model], dtype=jnp.float32,
-                 batched_logpost=None, batched_logpost_cols=None):
+                 batched_logpost=None, batched_logpost_cols=None,
+                 fused_density=None):
         if not models:
             raise ValueError("need at least one model")
         self.models = tuple(models)
@@ -98,6 +99,13 @@ class ModelSet:
         # variants) cost a single density evaluation in the fused sweep
         # instead of K mask-selected branches.
         self.batched_logpost_cols = batched_logpost_cols
+        # Incremental column density for the fused engine (the
+        # FusedColsDensity protocol, kernels/fused.py:make_density):
+        # per-lane VMEM-cached sufficient statistics with cheap
+        # single-coordinate updates — for matmul-heavy likelihoods like
+        # DDI (models/ddi_cols.py).  Takes precedence over the stateless
+        # column forms when present.
+        self.fused_density = fused_density
 
     # -- construction helpers -------------------------------------------
 

@@ -351,10 +351,15 @@ def ddi_set(dtype=jnp.float32, fused="auto", **kw) -> ModelSet:
     if fused == "auto":
         fused = True
     batched = None
+    density = None
     if fused:
         batched = _make_batched_logpost(data, dtype)
+        # incremental column density for the fused Pallas sweep engine
+        # (models/ddi_cols.py); same class tables, cached per-lane stats
+        from automix_tpu.models.ddi_cols import DDIFusedDensity
+        density = DDIFusedDensity(data)
 
     return ModelSet([
         Model("ddi_full", 16, logp0, init=init0),
         Model("ddi_reduced", 10, logp1, init=init1),
-    ], dtype=dtype, batched_logpost=batched, **kw)
+    ], dtype=dtype, batched_logpost=batched, fused_density=density, **kw)

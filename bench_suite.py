@@ -98,21 +98,37 @@ def build_sampler(target, n_chains, seed=0):
     return AMSampler(ms, cfg)
 
 
-def count_logp_eqns(modelset):
-    """Vector-op estimate of ONE fused family log-density evaluation: the
-    jaxpr equation count of ``make_logpost_cols`` traced at scalar shapes
-    (inside the kernel each equation lowers to ~one VPU op per lane)."""
+def count_density_eqns(modelset):
+    """Vector-op estimates of the fused density's evaluation modes, via
+    jaxpr equation counts at scalar shapes (inside the kernel each
+    equation lowers to ~one VPU op per lane).
+
+    Returns ``(full_eqns, coord_eqns [D])`` — a full evaluation (incl.
+    computing any incremental cache) and the per-coordinate update cost.
+    For stateless densities ``coord_eqns[j] == full_eqns`` for every j;
+    for incremental ones (DDI, models/ddi_cols.py) the coordinate
+    updates are the whole point of the design and are far cheaper."""
     import jax
     import jax.numpy as jnp
 
-    from automix_tpu.kernels.fused import make_logpost_cols
+    from automix_tpu.kernels.fused import make_density
 
     K, D = modelset.nmodels, modelset.dmax
-    f = make_logpost_cols(modelset)
+    density = make_density(modelset)
     z = jnp.float32(0.0)
-    jaxpr = jax.make_jaxpr(lambda mks, rows: f(list(mks), list(rows)))(
-        (z,) * K, (z,) * D)
-    return len(jaxpr.jaxpr.eqns)
+    mks, rows = (z,) * K, (z,) * D
+
+    def n_eqns(fn, *args):
+        return len(jax.make_jaxpr(fn)(*args).jaxpr.eqns)
+
+    full = n_eqns(lambda m, r: density.full(list(m), list(r)),
+                  mks, rows)
+    cache = (z,) * density.n_cache
+    coord = [n_eqns(lambda m, r, o, c, j=j: density.coord(
+                 j, list(m), list(r), o, list(c)),
+                 mks, rows, z, cache)
+             for j in range(D)]
+    return full, coord
 
 
 def fused_cost_model(am, L):
@@ -141,11 +157,18 @@ def fused_cost_model(am, L):
     S = cfg.n_chains
     tri = sum(L * (d * (d + 1) // 2) for d in dims)  # masked triangles
     lin = sum(L * d for d in dims)
-    # family-density calls/sweep: componentwise move = D calls on 9/10
-    # sweeps, block move = 1 on the rest, + 1 for the RJ destination.
-    n_lp = 0.9 * D + 0.1 + 1.0
     nw = ((4 if cfg.student_t_dof > 0 else 2) * D   # perturbation pairs
           + D + 1 + 2 * L + K + (D if cfg.perm else 0))
+    full_eqns, coord_eqns = count_density_eqns(ms)
+    n_cache = getattr(getattr(ms, "fused_density", None), "n_cache", 0)
+    # density calls/sweep: componentwise move = one coord() per
+    # coordinate on 9/10 sweeps, block move = full() on the rest,
+    # full() for the RJ destination, and (incremental caches only) the
+    # 1-in-_REFRESH drift refresh + per-move cache accept-blends.
+    from automix_tpu.kernels import fused as fz
+    density_ops = (0.9 * sum(coord_eqns) + 0.1 * full_eqns + full_eqns
+                   + (full_eqns / fz._REFRESH + 4 * n_cache
+                      if n_cache else 0.0))
     ops = (
         2 * (2 * tri + lin)        # fwd + reverse allocation (FMA + quad)
         + 2 * (tri + lin)          # de-standardize matvec
@@ -155,10 +178,9 @@ def fused_cost_model(am, L):
         + 14 * D                   # RWM proposal, Box-Muller, Jacobians
         + 10 * nw                  # counter-hash random words (int ops)
         + 4 * K + 6 * K * D + 25   # pk adapt, chunk stats, MH accepts
-        + n_lp * count_logp_eqns(ms)
+        + density_ops
     )
-    from automix_tpu.kernels import fused as fz
-    blk = fz.choose_block(S, fz._est_tiles(K, max(L, 1), D))
+    blk = fz.choose_block(S, fz._est_tiles(ms, max(L, 1)))
     n_blocks = S // blk
     state_rw = S * (D + K + 4) * 4 * 2        # k,theta,logp,pk,pkllim,nreinit
     stats_out = S * (K + 2 * K * D + 6) * 4   # ksummary, th sums, counters
@@ -219,14 +241,19 @@ def bench_target(target, n_chains, n_sweeps, warmup, profile_dir=None):
     ref_probs = parity_reference(target)
     parity_err = float(np.abs(stats.model_probs - ref_probs).max())
 
-    # warm adaptation: a fresh sampler in the same process re-runs stages
-    # 1+2 with all kernels already compiled (the persistent compilation
-    # cache gives fresh *processes* the same fetch) — the steady-state
-    # adaptation cost, vs adapt_seconds which pays one-time compiles.
-    am2 = build_sampler(target, n_chains, seed=1)
+    # warm adaptation: a fresh sampler re-runs the IDENTICAL stages 1+2
+    # (same seed, same config) with all kernels already compiled — the
+    # steady-state adaptation cost, vs adapt_seconds which pays one-time
+    # compiles.  Same seed matters: the EM while_loop's iteration count is
+    # data-dependent, so a different seed measures a different fit (the
+    # round-4 metric used seed=1 and sometimes came out *larger* than
+    # cold — it was measuring seed variance, not warmth).
+    am2 = build_sampler(target, n_chains, seed=0)
     t0 = time.perf_counter()
     am2.estimate_conditional_probs()
     t_adapt_warm = time.perf_counter() - t0
+    warm_stage1 = am2.cpstats.timesecs_stage1
+    warm_stage2 = am2.cpstats.timesecs_stage2
     del am2
 
     engine = engine_used(am)
@@ -250,6 +277,13 @@ def bench_target(target, n_chains, n_sweeps, warmup, profile_dir=None):
         "seconds": round(elapsed, 4),
         "adapt_seconds": round(t_adapt, 2),
         "adapt_seconds_warm": round(t_adapt_warm, 2),
+        # stage breakdown of the COLD run (sampler-side timers) and of the
+        # warm re-run: stage1 = adaptive RWM, stage2 = EM fit; the
+        # difference cold - (stage1 + stage2) is host assembly.
+        "adapt_stage1_seconds": round(am.cpstats.timesecs_stage1, 2),
+        "adapt_stage2_seconds": round(am.cpstats.timesecs_stage2, 2),
+        "adapt_stage1_seconds_warm": round(warm_stage1, 2),
+        "adapt_stage2_seconds_warm": round(warm_stage2, 2),
         "chain_sweeps_per_s": round(sweeps_s, 1),
         "parity_max_err": round(parity_err, 4),
         "flops_per_chain_sweep": round(flops / (am.cfg.sweep_chunk * n_chains), 1) if flops else None,

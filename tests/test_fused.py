@@ -282,13 +282,71 @@ def test_fused_pooled_pk_matches_xla():
 
 def test_fused_pooled_pk_eligibility():
     ms = tutorial_set()
-    # single lane block: eligible
+    # single lane block: eligible, fully-fused (in-kernel histogram)
     cfg = EngineConfig(n_chains=1024, fused="on", pk_mode="pooled")
     assert fused.fused_eligible(ms, cfg, collect=False, mesh=None, lmax=5)
-    # more chains than one block can hold: the global histogram cannot be
-    # reduced in-kernel -> XLA path
+    assert fused.pooled_single_block(ms, cfg, None, 5)
+    # more chains than one block can hold: still eligible — routed to the
+    # semi-fused per-sweep runner (cross-block histogram between sweeps)
     cfg_big = EngineConfig(n_chains=32768, fused="on", pk_mode="pooled")
-    assert not fused.fused_eligible(ms, cfg_big, False, None, 5)
+    assert fused.fused_eligible(ms, cfg_big, False, None, 5)
+    assert not fused.pooled_single_block(ms, cfg_big, None, 5)
+
+
+def test_fused_pooled_scan_bitwise_equals_inkernel():
+    """The semi-fused pooled runner (per-sweep kernel + external shared-pk
+    update) applies the exact in-kernel update formulas, so a single-block
+    run is bitwise identical through either path (hash RNG streams are
+    sweep-indexed and identical in both)."""
+    res = {}
+    for force in (False, True):
+        fused._FORCE_POOLED_SCAN = force
+        try:
+            am = _mk_sampler(toy.toy1_set, seed=13, pk_mode="pooled",
+                             fused_rng="hash")
+            am.estimate_conditional_probs()
+            am.burn_samples(20)
+            stats = am.rjmcmc_samples(60, collect=False)
+        finally:
+            fused._FORCE_POOLED_SCAN = False
+        res[force] = (np.asarray(am.chains.k), np.asarray(am.chains.theta),
+                      np.asarray(am.chains.pk), stats.ksummary.copy(),
+                      stats.nacctd)
+    for a, b in zip(res[False], res[True]):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_fused_pooled_multiblock_and_sharded(eight_devices):
+    """Pooled pk beyond one lane block: the semi-fused runner at S=8192
+    (two 4096-lane blocks) produces the same posterior as the XLA pooled
+    path, and its sharded run is bitwise equal to the unsharded one
+    (integer-psum histogram, replicated pk update)."""
+    from automix_tpu.parallel import mesh as mesh_lib
+
+    fit = _mk_sampler(toy.toy1_set, n_chains=8192, pk_mode="pooled",
+                      fused_rng="hash")
+    fit.estimate_conditional_probs()
+    prop = fit.proposal
+
+    res = {}
+    for nm, mesh, mode in (("sharded", mesh_lib.make_mesh(8), "on"),
+                           ("single", None, "on"),
+                           ("xla", None, "off")):
+        am = _mk_sampler(toy.toy1_set, n_chains=8192, pk_mode="pooled",
+                         fused=mode, fused_rng="hash", seed=3)
+        am.mesh = mesh
+        am.set_proposal(prop)
+        am.burn_samples(10)
+        stats = am.rjmcmc_samples(50, collect=False)
+        res[nm] = (stats.ksummary.copy(), np.asarray(am.chains.k),
+                   np.asarray(am.chains.theta), np.asarray(am.chains.pk),
+                   stats.model_probs)
+    # bitwise: sharded == unsharded semi-fused
+    for a, b in zip(res["sharded"][:4], res["single"][:4]):
+        np.testing.assert_array_equal(a, b)
+    # statistical: fused pooled == XLA pooled posterior
+    assert abs(res["single"][4][0] - res["xla"][4][0]) < 0.1
+    assert abs(res["single"][4][0] - toy.TOY1_MODEL_PROBS[0]) < 0.12
 
 
 def test_fused_decimated_traces():

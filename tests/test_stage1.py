@@ -177,3 +177,44 @@ def test_fused_stage1_student_t_matches_xla_path():
         np.testing.assert_allclose(
             mom_by_path["on"][which], mom_by_path["off"][which],
             rtol=0.25, atol=0.15)
+
+
+def test_fused_stage1_sharded_bitwise(eight_devices):
+    """Sharded fused stage-1 (per-shard lane blocks, per-sweep psum'd
+    pooled adaptation, globally-indexed hash streams) is bitwise equal
+    to the unsharded fused kernel: same sig trajectory, same stage-2
+    samples, same telemetry — the rwm.py sharding contract."""
+    from automix_tpu.parallel import mesh as mesh_lib
+    from automix_tpu.models.tutorial import tutorial_set
+
+    outs = {}
+    for nm, mesh in (("single", None), ("sharded", mesh_lib.make_mesh(8))):
+        ms = tutorial_set()
+        cfg = EngineConfig(n_chains_stage1=256, stage1_sweeps=300,
+                           seed=17, fused_stage1="on")
+        sig, smp, tele = rwm.run_stage1(ms, cfg, jax.random.PRNGKey(4),
+                                        300, mesh=mesh)
+        outs[nm] = (np.asarray(sig), np.asarray(smp),
+                    np.asarray(tele["sig_trace"]),
+                    np.asarray(tele["accept_trace"]))
+    for a, b in zip(outs["single"], outs["sharded"]):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_fused_stage1_sharded_mixed_dims(eight_devices):
+    """Sharded fused stage-1 on a mixed-dimension family (toy1, dims
+    1/2): padding discipline holds and matches unsharded bitwise."""
+    from automix_tpu.parallel import mesh as mesh_lib
+    from automix_tpu.models.toy import toy1_set
+
+    outs = {}
+    for nm, mesh in (("single", None), ("sharded", mesh_lib.make_mesh(8))):
+        ms = toy1_set()
+        cfg = EngineConfig(n_chains_stage1=128, stage1_sweeps=200,
+                           seed=23, fused_stage1="on")
+        sig, smp, _ = rwm.run_stage1(ms, cfg, jax.random.PRNGKey(6),
+                                     200, mesh=mesh)
+        outs[nm] = (np.asarray(sig), np.asarray(smp))
+    np.testing.assert_array_equal(outs["single"][0], outs["sharded"][0])
+    np.testing.assert_array_equal(outs["single"][1], outs["sharded"][1])
+    assert np.all(outs["sharded"][1][0, :, 1:] == 0.0)
