@@ -183,18 +183,21 @@ def make_logpost_cols(modelset):
 
 class _StatelessDensity:
     """Default FusedColsDensity wrapping a stateless column density: no
-    cache, every evaluation is a fresh ``logpost_cols`` call (bitwise
-    identical to the pre-interface kernel)."""
+    cache, no tables, every evaluation is a fresh ``logpost_cols`` call
+    (bitwise identical to the pre-interface kernel)."""
 
     n_cache = 0
 
     def __init__(self, logpost_cols):
         self._cols = logpost_cols
 
-    def full(self, mks, rows):
+    def table_arrays(self, ndim: int):
+        return ()
+
+    def full(self, mks, rows, tabs=()):
         return self._cols(mks, rows), ()
 
-    def coord(self, j, mks, rows, old_j, cache):
+    def coord(self, j, mks, rows, old_j, cache, tabs=()):
         return self._cols(mks, rows), ()
 
 
@@ -202,10 +205,14 @@ def make_density(modelset):
     """The fused kernel's density object.
 
     A model set may supply ``fused_density`` — an object with ``n_cache``
-    (number of per-lane cache tiles), ``full(mks, rows) -> (lp, cache)``
-    (fresh evaluation + fresh cache) and ``coord(j, mks, rows, old_j,
-    cache) -> (lp, cache')`` (evaluation after ONLY coordinate j changed
-    from ``old_j`` to ``rows[j]``, reusing/updating the cache; tiles it
+    (summed per-lane float32 cache slots, for VMEM accounting),
+    ``table_arrays(ndim) -> tuple[np.ndarray]`` (static coefficient
+    tables, shaped with ``ndim`` trailing broadcast dims — the kernel
+    plumbs them in as VMEM inputs because Pallas kernels cannot capture
+    array constants), ``full(mks, rows, tabs) -> (lp, cache)`` (fresh
+    evaluation + fresh cache) and ``coord(j, mks, rows, old_j, cache,
+    tabs) -> (lp, cache')`` (evaluation after ONLY coordinate j changed
+    from ``old_j`` to ``rows[j]``, reusing/updating the cache; leaves it
     did not touch must be returned as the SAME objects so the kernel can
     skip their accept-blends).  This is how matmul-heavy likelihoods
     (e.g. the DDI sufficient-statistic class form, models/ddi_cols.py)
@@ -221,13 +228,18 @@ def make_density(modelset):
 def _est_tiles(modelset, L: int) -> int:
     """Estimated live per-lane float32 tiles of the sweep body (used for
     VMEM-aware block sizing and the pooled-pk single-block check).  The
-    w_ml standardized-residual tiles count each model's TRUE dim; an
-    incremental density adds its cache tiles."""
+    w_ml standardized-residual tiles count each model's TRUE dim.  An
+    incremental density's cache counts 4x: besides the carried cache,
+    the block/comp cond branches, the RJ full evaluation, and the
+    refresh branch each hold a fresh candidate copy, and Mosaic's stack
+    allocator keeps them live simultaneously (measured: the DDI kernel's
+    scoped VMEM is ~4x n_cache x lane bytes; a 1x estimate OOM'd the
+    v5e's 16 MB scoped limit at block 4096)."""
     K, D = modelset.nmodels, modelset.dmax
     w_tiles = L * int(sum(int(d) for d in modelset.dims))
     n_cache = getattr(getattr(modelset, "fused_density", None),
                       "n_cache", 0)
-    return (w_tiles + n_cache + 2 * K * D + 2 * K + 3 * D
+    return (w_tiles + 4 * n_cache + 2 * K * D + 2 * K + 3 * D
             + (3 * D + 2 * L + K + 1) + 60)
 
 
@@ -388,11 +400,15 @@ def build_fused_chunk_runner(modelset, cfg: EngineConfig, burning: bool,
         s_bm = s_perm + (D if cfg.perm else 0)
         NW = s_bm + (4 * D if dof > 0 else 2 * D)
 
+        tabs_np = density.table_arrays(2)       # (8, W) tiles -> ndim 2
+        n_tabs = len(tabs_np)
+
         def kernel(scal_ref, k_ref, th_ref, lp_ref, pk_ref, pkl_ref,
                    nri_ref, sig_ref, loglam_ref, abase_ref, logdet_ref,
-                   mu_ref, binv_ref, b_ref,
-                   k_o, th_o, lp_o, pk_o, pkl_o, nri_o,
-                   ks_o, ts_o, tq_o, cnt_o):
+                   mu_ref, binv_ref, b_ref, *rest):
+            tabs = tuple(rest[:n_tabs])
+            (k_o, th_o, lp_o, pk_o, pkl_o, nri_o,
+             ks_o, ts_o, tq_o, cnt_o) = rest[n_tabs:]
             g = pl.program_id(0)
             sweep0 = scal_ref[1]
             # scal_ref[2]: global index of this shard's first block;
@@ -440,7 +456,7 @@ def build_fused_chunk_runner(modelset, cfg: EngineConfig, burning: bool,
                 # fresh incremental-density cache for the chunk's start
                 # state (a chunk boundary is also a drift refresh)
                 mks_in = [(kk0 == m).astype(jnp.float32) for m in range(K)]
-                _, cache0 = density.full(mks_in, th0)
+                _, cache0 = density.full(mks_in, th0, tabs)
             else:
                 cache0 = ()
 
@@ -506,7 +522,7 @@ def build_fused_chunk_runner(modelset, cfg: EngineConfig, burning: bool,
                     th, logp, cache = args
                     prop = tuple(th[d] + sig_k[d] * z_rwm[d]
                                  for d in range(D))
-                    lpn, cache_n = density.full(mks, prop)
+                    lpn, cache_n = density.full(mks, prop, tabs)
                     # Arithmetic blends beat selects by ~15% here, and are
                     # safe because every operand is provably finite: draws
                     # are clamped (_u01), densities sanitized
@@ -533,7 +549,7 @@ def build_fused_chunk_runner(modelset, cfg: EngineConfig, burning: bool,
                                               if d == j else 0.0)
                                      for d in range(D))
                         lpn, cache_n = density.coord(j, mks, prop, th[j],
-                                                     cache)
+                                                     cache, tabs)
                         acc = ((u_rwm[j] < _accept(lpn - logp))
                                & (active[j] > 0.0)).astype(jnp.float32)
                         th = tuple(th[d] + acc * (prop[d] - th[d])
@@ -705,7 +721,7 @@ def build_fused_chunk_runner(modelset, cfg: EngineConfig, burning: bool,
                                   for li in range(L)) - lse_list(logits_n)
 
                 # accept (automix.c:1237-1256)
-                lpn, cache_rj = density.full(mkn, thn)
+                lpn, cache_rj = density.full(mkn, thn, tabs)
                 loglam_k_l = sum(mks[m] * mls[li] * loglam_ref[m, li]
                                  for m in range(K) for li in range(L))
                 loglam_kn_ln = sum(mkn[m] * mln[li] * loglam_ref[m, li]
@@ -737,7 +753,7 @@ def build_fused_chunk_runner(modelset, cfg: EngineConfig, burning: bool,
                         _logp, _cache = args
                         mks2 = [(kk == m).astype(jnp.float32)
                                 for m in range(K)]
-                        return density.full(mks2, th)
+                        return density.full(mks2, th, tabs)
 
                     logp, cache = jax.lax.cond(
                         (t % _REFRESH) == (_REFRESH - 1),
@@ -820,7 +836,11 @@ def build_fused_chunk_runner(modelset, cfg: EngineConfig, burning: bool,
             in_specs=[flat_spec, vec_spec(D), flat_spec, vec_spec(K),
                       flat_spec, flat_spec,
                       smem_spec, smem_spec, smem_spec, smem_spec,
-                      smem_spec, smem_spec, smem_spec],
+                      smem_spec, smem_spec, smem_spec]
+            + [pl.BlockSpec(t.shape,
+                            (lambda nd: lambda i, *_: (0,) * nd)(t.ndim),
+                            memory_space=pltpu.VMEM)
+               for t in tabs_np],
             out_specs=[flat_spec, vec_spec(D), flat_spec, vec_spec(K),
                        flat_spec, flat_spec,
                        vec_spec(K), vec_spec(K * D), vec_spec(K * D),
@@ -848,7 +868,8 @@ def build_fused_chunk_runner(modelset, cfg: EngineConfig, burning: bool,
             ],
             interpret=interpret,
         )
-        return call, BLK, W, G, G8
+        tabs_dev = tuple(jnp.asarray(t) for t in tabs_np)
+        return call, BLK, W, G, G8, tabs_dev
 
     f32 = jnp.float32
     dims_f = jnp.asarray(modelset.dims, f32)
@@ -909,7 +930,7 @@ def build_fused_chunk_runner(modelset, cfg: EngineConfig, burning: bool,
     @functools.lru_cache(maxsize=None)
     def _compiled(n_sweeps: int, L: int, S: int):
         """Fully-fused runner: the whole chunk inside one kernel."""
-        call, BLK, W, G, G8 = _built(n_sweeps, L, S, adapt)
+        call, BLK, W, G, G8, tabs_dev = _built(n_sweeps, L, S, adapt)
 
         def local_run(chains: Chains, prop: Proposal):
             tabs = _prep_tables(prop, L)
@@ -925,7 +946,7 @@ def build_fused_chunk_runner(modelset, cfg: EngineConfig, burning: bool,
                 chains.pk.T.reshape(K, G8, W),
                 chains.pkllim.reshape(G8, W),
                 chains.nreinit.reshape(G8, W),
-                *tabs,
+                *tabs, *tabs_dev,
             )
             (k2, th2, lp2, pk2, pkl2, nri2, ks2, ts2, tq2, cnt2) = outs
             chains_out = chains.replace(
@@ -967,7 +988,7 @@ def build_fused_chunk_runner(modelset, cfg: EngineConfig, burning: bool,
         still ~30x below the XLA engine's per-op intermediates), and the
         formulas match the in-kernel pooled branch bitwise, so a
         single-block run produces identical trajectories either way."""
-        call, BLK, W, G, G8 = _built(1, L, S, False)
+        call, BLK, W, G, G8, tabs_dev = _built(1, L, S, False)
         n_shards = int(mesh.devices.size) if mesh is not None else 1
         inv_Sg = np.float32(1.0 / (S * n_shards))
 
@@ -987,7 +1008,7 @@ def build_fused_chunk_runner(modelset, cfg: EngineConfig, burning: bool,
                     jnp.broadcast_to(pk_vec[:, None, None], (K, G8, W)),
                     jnp.broadcast_to(pkl, (G8, W)),
                     jnp.broadcast_to(nri, (G8, W)),
-                    *tabs,
+                    *tabs, *tabs_dev,
                 )
                 (k2, th2, lp2, _pk2, _pkl2, _nri2, ks2, ts2, tq2,
                  cnt2) = outs

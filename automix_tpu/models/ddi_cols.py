@@ -22,12 +22,14 @@ evaluations.  Two ideas make the fused DDI sweep cheap:
     the cache; the kernel additionally refreshes every ``_REFRESH``
     sweeps to bound incremental float32 drift.
 
-* **Class/column axes stay array axes.**  Every quantity here keeps its
-  class/feature axis as a LEADING array axis over the (8, W) lane tiles
-  ([105, 8, W], [15, 6, 8, W], ...), so one jaxpr op covers all classes
-  and Mosaic does the tile unrolling — the trace is a few hundred
-  equations per evaluation instead of the ~14k a scalar unroll costs
-  (which made both XLA-interpret and Mosaic compiles intractable).
+* **Coefficients as immediates.**  The feature tables enter the kernel
+  as compile-time scalar immediates in per-column unrolled FMAs — of
+  the layouts probed on v5e hardware the only one that is Mosaic-
+  compilable, VMEM-compact, AND fast (see the note in the statistics
+  section).  The price is a large traced kernel body (~60k equations),
+  which Mosaic compiles in about a minute on hardware but XLA:CPU's
+  interpret mode cannot digest — so kernel-level DDI tests run on TPU,
+  with the density functions themselves exactness-tested everywhere.
 
 Implements the kernel's FusedColsDensity protocol
 (kernels/fused.py:make_density).  Reference: userddi.c:533-670
@@ -88,45 +90,62 @@ class _ModelPart:
         self.ig_const = float(-A_HYP * np.log(B_HYP) - np_gammaln(A_HYP))
         self.wish_const = wish_const
 
-    def _bc(self, vec, ndim):
-        """[n] table constants broadcast over an ndim-dimensional lane
-        tile: [n, 1, ..., 1]."""
-        v = jnp.asarray(vec, jnp.float32)
-        return v.reshape(v.shape + (1,) * ndim)
-
     # -- sufficient statistics (functions of alpha only) -----------------
+    # Per-column unrolled scalar*tile FMAs with the table coefficients as
+    # IMMEDIATES: of the layouts probed on v5e hardware, the only one
+    # that is simultaneously Mosaic-compilable, VMEM-compact, and fast.
+    # ([n_cols,1,1] VMEM table inputs pad each scalar to an (8,128) tile
+    # -> ~19 MB of scoped VMEM and an OOM; dynamically indexed SMEM
+    # scalar loads serialize at ~280 ns each, 130x slower than
+    # immediates.)  Zero coefficients are skipped; columns a coordinate
+    # update does not touch are returned as the SAME tile objects so the
+    # kernel skips their accept-blends.
 
     def stats_full(self, rows):
-        """[n_cols, *tile] statistics array from scratch."""
-        nd = jnp.ndim(rows[0])
+        """Tuple of n_cols per-lane statistic tiles from scratch."""
         delta = [rows[i] - self.alpha_hat[i] for i in range(self.n_fix)]
-        stats = self._bc(self.tab_const, nd) + 0.0 * rows[0][None]
-        for f, (i1, i2) in enumerate(self.quad_pairs):
-            stats = stats + (delta[i1] * delta[i2])[None] \
-                * self._bc(self.tab_quad[f], nd)
-        for i in range(self.n_fix):
-            stats = stats + delta[i][None] * self._bc(self.tab_lin[i], nd)
-        return stats
+        phi = [delta[i1] * delta[i2] for (i1, i2) in self.quad_pairs]
+        out = []
+        for col in range(self.n_cols):
+            acc = float(self.tab_const[col]) + 0.0 * rows[0]
+            for f in range(len(phi)):
+                t = self.tab_quad[f, col]
+                if t != 0.0:
+                    acc = acc + phi[f] * float(t)
+            for i in range(self.n_fix):
+                t = self.tab_lin[i, col]
+                if t != 0.0:
+                    acc = acc + delta[i] * float(t)
+            out.append(acc)
+        return tuple(out)
 
     def stats_coord(self, j, rows, old_j, stats):
         """Statistics after only alpha coordinate j changed from old_j to
-        rows[j]: ~n_fix+2 whole-array fused multiply-adds on the cache."""
-        nd = jnp.ndim(rows[0])
+        rows[j]: only the ~n_fix+1 features containing j contribute."""
         dnew = rows[j] - self.alpha_hat[j]
         dold = old_j - self.alpha_hat[j]
         dd = dnew - dold
+        contribs = []                       # (feature row, delta-phi tile)
         for f, (i1, i2) in enumerate(self.quad_pairs):
             if i1 == j and i2 == j:
-                dphi = (dnew + dold) * dd
+                contribs.append((self.tab_quad[f], (dnew + dold) * dd))
             elif i1 == j:
-                dphi = (rows[i2] - self.alpha_hat[i2]) * dd
+                contribs.append((self.tab_quad[f],
+                                 (rows[i2] - self.alpha_hat[i2]) * dd))
             elif i2 == j:
-                dphi = (rows[i1] - self.alpha_hat[i1]) * dd
-            else:
-                continue
-            stats = stats + dphi[None] * self._bc(self.tab_quad[f], nd)
-        stats = stats + dd[None] * self._bc(self.tab_lin[j], nd)
-        return stats
+                contribs.append((self.tab_quad[f],
+                                 (rows[i1] - self.alpha_hat[i1]) * dd))
+        lin_row = self.tab_lin[j]
+        out = []
+        for col in range(self.n_cols):
+            acc = stats[col]
+            for trow, dphi in contribs:
+                if trow[col] != 0.0:
+                    acc = acc + dphi * float(trow[col])
+            if lin_row[col] != 0.0:
+                acc = acc + dd * float(lin_row[col])
+            out.append(acc)
+        return tuple(out)
 
     # -- log-posterior from statistics -----------------------------------
 
@@ -135,7 +154,6 @@ class _ModelPart:
         and the current precision/variance rows.  Out-of-support lanes
         (var <= 0, non-posdef precision) return REJECT, matching the
         XLA batched path (models/ddi.py)."""
-        nd = jnp.ndim(rows[0])
         prec = [rows[r] for r in self.prec_rows]
         var = rows[self.var_row]
         ok = var > 0.0
@@ -171,35 +189,41 @@ class _ModelPart:
         lp = lp + (-(A_HYP + 1.0) * jnp.log(vsafe)
                    - (1.0 / B_HYP) * (1.0 / vsafe) + self.ig_const)
 
-        # likelihood: per-class Woodbury recombination with the class
-        # axis as a leading array axis (ddi_stats.build_llh,
+        # likelihood: per-class Woodbury recombination, unrolled over the
+        # 15 classes with the tiny per-class constants (G, N, tri
+        # weights) embedded as scalar immediates (ddi_stats.build_llh,
         # division-free via adjugate + reciprocal)
-        s = stats.reshape((self.n_cls, 1 + self.ntri) + stats.shape[1:])
-        q0 = s[:, 0]                                 # [n_cls, *tile]
-        H = s[:, 1:]                                 # [n_cls, ntri, *tile]
-        prec_a = jnp.stack(prec)                     # [ntri, *tile]
-        M = vsafe[None, None] * prec_a[None] \
-            + self._bc(self.G, nd)                   # [n_cls, ntri, *tile]
-        if self.d_re == 2:
-            ma, mb, mc = M[:, 0], M[:, 1], M[:, 2]
-            det = ma * mc - mb * mb
-            adj = jnp.stack([mc, -mb, ma], axis=1)
-        else:
-            ma, mb, mc_ = M[:, 0], M[:, 1], M[:, 2]
-            me, mf, mi = M[:, 3], M[:, 4], M[:, 5]
-            a00 = me * mi - mf * mf
-            a01 = mc_ * mf - mb * mi
-            a02 = mb * mf - mc_ * me
-            det = ma * a00 + mb * a01 + mc_ * a02
-            adj = jnp.stack([a00, a01, a02,
-                             ma * mi - mc_ * mc_,
-                             mb * mc_ - ma * mf,
-                             ma * me - mb * mb], axis=1)
-        detsafe = jnp.maximum(det, _TINY)            # [n_cls, *tile]
-        wts = self.tri_w.reshape((1, self.ntri) + (1,) * nd)
-        sH = jnp.sum(adj * H * wts, axis=1)          # [n_cls, *tile]
-        quad = jnp.sum(q0 - sH * (1.0 / detsafe), axis=0)
-        ld = jnp.sum(self._bc(self.N, nd) * jnp.log(detsafe), axis=0)
+        quad = None
+        ld = None
+        for ci in range(self.n_cls):
+            base = ci * (1 + self.ntri)
+            q0 = stats[base]
+            H = [stats[base + 1 + e] for e in range(self.ntri)]
+            M = [vsafe * prec[e] + float(self.G[ci, e])
+                 for e in range(self.ntri)]
+            if self.d_re == 2:
+                ma, mb, mc = M
+                det = ma * mc - mb * mb
+                adj = [mc, -mb, ma]
+            else:
+                ma, mb, mc_, me, mf, mi = M
+                a00 = me * mi - mf * mf
+                a01 = mc_ * mf - mb * mi
+                a02 = mb * mf - mc_ * me
+                det = ma * a00 + mb * a01 + mc_ * a02
+                adj = [a00, a01, a02,
+                       ma * mi - mc_ * mc_,
+                       mb * mc_ - ma * mf,
+                       ma * me - mb * mb]
+            detsafe = jnp.maximum(det, _TINY)
+            sH = None
+            for e in range(self.ntri):
+                term = (float(self.tri_w[e]) * adj[e]) * H[e]
+                sH = term if sH is None else sH + term
+            quad_c = q0 - sH * (1.0 / detsafe)
+            quad = quad_c if quad is None else quad + quad_c
+            ldc = float(self.N[ci]) * jnp.log(detsafe)
+            ld = ldc if ld is None else ld + ldc
         llh = (-0.5 * quad * (1.0 / vsafe)
                - 0.5 * ld
                + (0.5 * self.N_tot) * log_det_prec
@@ -217,9 +241,9 @@ class _ModelPart:
 class DDIFusedDensity:
     """FusedColsDensity for the 2-model DDI family (dims 16 / 10).
 
-    The cache is ``(stats_m0 [105, *tile], stats_m1 [60, *tile])`` —
-    ``n_cache`` reports the summed per-lane float32 slot count for the
-    kernel's VMEM accounting."""
+    The cache is the flat tuple of 105 model-0 + 60 model-1 per-lane
+    statistic tiles; ``n_cache`` is that count, for the kernel's VMEM
+    accounting."""
 
     def __init__(self, data):
         tab0 = ddi_stats.build_class_tables(
@@ -241,15 +265,19 @@ class DDIFusedDensity:
         self.n_cache = self._m0.n_cols + self._m1.n_cols
         self.dims = (16, 10)
 
-    def full(self, mks, rows):
+    def table_arrays(self, ndim: int):
+        return ()           # coefficients are immediates; no kernel inputs
+
+    def full(self, mks, rows, tabs=()):
         s0 = self._m0.stats_full(rows)
         s1 = self._m1.stats_full(rows)
         lp = (mks[0] * self._m0.lp(s0, rows)
               + mks[1] * self._m1.lp(s1, rows))
-        return lp, (s0, s1)
+        return lp, s0 + s1
 
-    def coord(self, j, mks, rows, old_j, cache):
-        c0, c1 = cache
+    def coord(self, j, mks, rows, old_j, cache, tabs=()):
+        n0 = self._m0.n_cols
+        c0, c1 = cache[:n0], cache[n0:]
         # model 0 (dim 16): alpha coords 0..8, precision 9..14, var 15
         s0 = (self._m0.stats_coord(j, rows, old_j, c0) if j < 9 else c0)
         lp = mks[0] * self._m0.lp(s0, rows)
@@ -262,4 +290,4 @@ class DDIFusedDensity:
             lp = lp + mks[1] * self._m1.lp(s1, rows)
         else:
             s1 = c1
-        return lp, (s0, s1)
+        return lp, tuple(s0) + tuple(s1)

@@ -91,7 +91,7 @@ def build_sampler(target, n_chains, seed=0):
         from automix_tpu.models.ddi import ddi_set
         ms = ddi_set()
         cfg = EngineConfig(n_chains=n_chains, n_chains_stage1=512,
-                           stage1_sweeps=1500, sweep_chunk=200, seed=seed,
+                           stage1_sweeps=1500, sweep_chunk=500, seed=seed,
                            trace_chain0=False, n_trace_chains=1)
     else:
         raise SystemExit(f"unknown target {target}")
@@ -366,7 +366,7 @@ def main():
     spec = {
         "tutorial": (131_072, 50_000, 1000),
         "rb9": (16_384, 10_000, 500),
-        "ddi": (8_192, 2_000, 200),
+        "ddi": (16_384, 10_000, 500),
     }
     results = {"device": dev.device_kind, "platform": dev.platform,
                "targets": [], "ts": time.strftime("%Y-%m-%d %H:%M:%S")}

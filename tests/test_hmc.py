@@ -32,3 +32,30 @@ def test_hmc_with_trans_dimensional_jumps():
     am.burn_samples(300)
     stats = am.rjmcmc_samples(1500)
     np.testing.assert_allclose(stats.model_probs, TOY1_MODEL_PROBS, atol=0.06)
+
+
+def test_hmc_retune_api():
+    """retune_hmc re-runs the autotuner against the current proposal and
+    rebuilds the runners; a proposal re-fit triggers it automatically."""
+    from automix_tpu.models import builtin
+
+    cfg = EngineConfig(n_chains=64, n_chains_stage1=64, stage1_sweeps=200,
+                       sweep_chunk=50, seed=7, within_move="hmc",
+                       max_mix_comps=6, max_em_iters=60,
+                       trace_chain0=False)
+    am = AMSampler(builtin.normal_params_set(), cfg)
+    am.burn_samples(30)                       # triggers first autotune
+    first = am.cfg.hmc_step_scale
+    assert isinstance(first, tuple) and len(first) == 1
+    assert am._runners
+    scales = am.retune_hmc()                  # on-demand re-tune
+    assert not am._runners                    # runners invalidated
+    assert isinstance(am.cfg.hmc_step_scale, tuple)
+    assert scales.shape == (1,)
+    am.rjmcmc_samples(50)                     # runs fine post-retune
+    # a re-fit auto-retunes (stale preconditioner)
+    before = am.cfg.hmc_step_scale
+    am.estimate_conditional_probs()
+    assert isinstance(am.cfg.hmc_step_scale, tuple)
+    # tuned against a fresh fit with a fresh key: almost surely different
+    assert am.cfg.hmc_step_scale != before

@@ -83,3 +83,31 @@ def test_hmc_autotune_sharded(eight_devices):
     assert np.all(np.isfinite(s_sharded)) and np.all(s_sharded > 0)
     np.testing.assert_allclose(np.log(s_sharded), np.log(s_single),
                                atol=0.35)
+
+
+def test_smc_adaptive_tempering_matches_linear():
+    """ESS-targeted tempering (the default) reaches the same evidences as
+    the fixed linspace ladder on toy1, with per-model adaptive ladders
+    that actually terminate before the step cap."""
+    from automix_tpu.models.toy import toy1_set, TOY1_MODEL_PROBS
+
+    cfg = EngineConfig(n_chains_stage1=256, stage1_sweeps=400, seed=3,
+                       max_mix_comps=8, max_em_iters=100)
+    am = AMSampler(toy1_set(), cfg)
+    am.estimate_conditional_probs()
+    out_a = am.smc_evidence(n_particles=1024, n_temps=40, n_moves=2,
+                            tempering="adaptive")
+    out_l = am.smc_evidence(n_particles=1024, n_temps=20, n_moves=2,
+                            tempering="linear")
+    for out in (out_a, out_l):
+        np.testing.assert_allclose(out["model_probs"], TOY1_MODEL_PROBS,
+                                   atol=0.06)
+    np.testing.assert_allclose(out_a["log_evidence"], out_l["log_evidence"],
+                               atol=0.15)
+    # the adaptive ladder is monotone, ends at exactly 1, and (with a
+    # fitted proposal as the bridge start) is far shorter than the cap
+    bu = np.asarray(out_a["betas_used"])
+    assert np.all(np.diff(np.vstack([np.zeros((1, 2)), bu]), axis=0) >= 0)
+    assert np.all(bu[-1] == 1.0)
+    n_steps = int((bu < 1.0).sum(axis=0).max()) + 1
+    assert n_steps < 40, n_steps
