@@ -14,7 +14,7 @@ import numpy as np
 from jax.scipy.special import gammaln
 
 from automix_tpu.config import NEG_INF
-from automix_tpu.model import Model, ModelSet
+from automix_tpu.model import Model, ModelSet, memoized_set
 from automix_tpu.ops.plmath import pal_gammaln
 
 # Ten fixed observations shared by the parameter-estimation targets
@@ -180,6 +180,7 @@ cols_normal_params, cols_beta_params, cols_gamma_params = \
 
 # --- assembled ModelSets (the nine test scenarios) ----------------------
 
+@memoized_set
 def normal_sampler_set(**kw):
     """Scenario 1 (tests/test_automix.c:49-54): mean 0.5, sigma 1.0."""
     return ModelSet([Model("normal_sampler", 1, logp_normal_sampler,
@@ -187,6 +188,7 @@ def normal_sampler_set(**kw):
                            logp_cols=cols_normal_sampler)], **kw)
 
 
+@memoized_set
 def truncnormal_sampler_set(**kw):
     """Scenario 2 (tests/test_automix.c:56-61): mean~1.3, sigma~1.5 claimed;
     support within (0, 10)."""
@@ -195,6 +197,7 @@ def truncnormal_sampler_set(**kw):
                            logp_cols=cols_truncnormal_sampler)], **kw)
 
 
+@memoized_set
 def beta_sampler_set(**kw):
     """Scenario 3 (tests/test_automix.c:63-68): mean 0.5."""
     return ModelSet([Model("beta_sampler", 1, logp_beta_sampler,
@@ -202,6 +205,7 @@ def beta_sampler_set(**kw):
                            logp_cols=cols_beta_sampler)], **kw)
 
 
+@memoized_set
 def normal_params_set(**kw):
     """Scenario 4 (tests/test_automix.c:70-76): E[sigma]~0.2, E[x0]~0.5."""
     return ModelSet([Model("normal_params", 2, logp_normal_params,
@@ -209,6 +213,7 @@ def normal_params_set(**kw):
                            logp_cols=cols_normal_params)], **kw)
 
 
+@memoized_set
 def beta_params_set(**kw):
     """Scenario 5 (tests/test_automix.c:78-84): E[alpha]~4.5, E[beta]~5.0."""
     return ModelSet([Model("beta_params", 2, logp_beta_params,
@@ -216,6 +221,7 @@ def beta_params_set(**kw):
                            logp_cols=cols_beta_params)], **kw)
 
 
+@memoized_set
 def gamma_params_set(**kw):
     """Scenario 6 (tests/test_automix.c:86-92): E[alpha]~7.0, E[beta]~14.5."""
     return ModelSet([Model("gamma_params", 2, logp_gamma_params,
@@ -223,6 +229,7 @@ def gamma_params_set(**kw):
                            logp_cols=cols_gamma_params)], **kw)
 
 
+@memoized_set
 def gamma_beta_set(**kw):
     """Scenario 7 (tests/test_automix.c:94-103): p(M=Gamma)~0.37."""
     return ModelSet([
@@ -233,6 +240,7 @@ def gamma_beta_set(**kw):
     ], **kw)
 
 
+@memoized_set
 def normal_beta_set(**kw):
     """Scenario 8 (tests/test_automix.c:105-114): p(M=Normal)~0.95."""
     return ModelSet([
@@ -243,6 +251,7 @@ def normal_beta_set(**kw):
     ], **kw)
 
 
+@memoized_set
 def normal_gamma_set(**kw):
     """Scenario 9 (tests/test_automix.c:116-125): p(M=Normal)~0.97."""
     return ModelSet([

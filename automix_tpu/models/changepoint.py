@@ -35,7 +35,7 @@ import numpy as np
 import jax.numpy as jnp
 from scipy.special import gammaln as np_gammaln
 
-from automix_tpu.model import Model, ModelSet
+from automix_tpu.model import Model, ModelSet, memoized_set
 
 # Coal-mining disaster times (usercpt.c:56-76), interval [0, 40907].
 COAL_DATA = np.array([
@@ -113,12 +113,14 @@ def make_changepoint_set(data, t_end, alpha, beta, lam_prior, reject_value,
 import jax  # noqa: E402  (used inside logp closures)
 
 
+@memoized_set
 def cpt_set(**kw) -> ModelSet:
     """usercpt.c: raw time scale [0, 40907], Gamma(1, 200) rate priors."""
     return make_changepoint_set(COAL_DATA, 40907.0, alpha=1.0, beta=200.0,
                                 lam_prior=3.0, reject_value=-10000.0, **kw)
 
 
+@memoized_set
 def cptrs_set(**kw) -> ModelSet:
     """usercptrs.c: times rescaled by 1459 (rounded to 2 decimals as in the
     reference), T = 28.04, beta = 0.137 — the scaling-sensitivity variant."""

@@ -36,7 +36,7 @@ import jax
 import jax.numpy as jnp
 from scipy.special import gammaln as np_gammaln
 
-from automix_tpu.model import Model, ModelSet
+from automix_tpu.model import Model, ModelSet, memoized_set
 from automix_tpu.ops import linalg
 
 _DATA_PATH = os.path.join(os.path.dirname(__file__), "ddi_data.npz")
@@ -327,6 +327,7 @@ def _make_batched_logpost(data, dtype):
     return batched_logpost
 
 
+@memoized_set
 def ddi_set(dtype=jnp.float32, fused="auto", **kw) -> ModelSet:
     """``fused``: use the sufficient-statistic batched path
     (models/ddi_stats.py) for the hot loop.  Pure XLA, so "auto" enables

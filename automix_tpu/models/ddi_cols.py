@@ -20,7 +20,9 @@ evaluations.  Two ideas make the fused DDI sweep cheap:
     G_c, adjugate inverse, log-determinants) is recomputed;
   - the RJ move and the 1-in-10 block move evaluate in full and refresh
     the cache; the kernel additionally refreshes every ``_REFRESH``
-    sweeps to bound incremental float32 drift.
+    sweeps to bound incremental float32 drift (measured on v5e: after
+    6000 production sweeps the carried logp differs from a from-scratch
+    recomputation by at most 3.4e-3 on a logp scale of ~3.6e3).
 
 * **Coefficients as immediates.**  The feature tables enter the kernel
   as compile-time scalar immediates in per-column unrolled FMAs — of

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 from jax.scipy.special import gammaln
 from scipy.special import gammaln as np_gammaln
 
-from automix_tpu.model import Model, ModelSet
+from automix_tpu.model import Model, ModelSet, memoized_set
 
 # userrb9.c:72-77: counts for the 4 groups, concatenated
 X_DATA = np.array([
@@ -267,6 +267,7 @@ def _build_batched_cols():
     return batched_cols
 
 
+@memoized_set
 def rb9_set(**kw) -> ModelSet:
     kw.setdefault("batched_logpost", _build_batched_logpost(
         kw.get("dtype", jnp.float32)))

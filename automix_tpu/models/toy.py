@@ -14,7 +14,7 @@ import numpy as np
 import jax.numpy as jnp
 from jax.scipy.special import logsumexp
 
-from automix_tpu.model import Model, ModelSet
+from automix_tpu.model import Model, ModelSet, memoized_set
 from automix_tpu.ops import linalg
 
 _LOG_2PI = 1.8378770664093453
@@ -69,6 +69,7 @@ def _mixture_cols(weights, mus, Bs, log_prior):
     return cols
 
 
+@memoized_set
 def toy1_set(**kw) -> ModelSet:
     """usertoy1: model 0 is a 1-D 2-component mixture (prior 0.3), model 1
     a 2-D 3-component mixture with correlations (prior 0.7)
@@ -118,6 +119,7 @@ def toy1_set(**kw) -> ModelSet:
 TOY1_MODEL_PROBS = np.array([0.3, 0.7])
 
 
+@memoized_set
 def toy2_set(**kw) -> ModelSet:
     """usertoy2: 5 models, model k of dim k+1, each a mixture
     0.3 N(+5*1, I) + 0.7 N(-5*1, 4I); model weights 1/2^(k+1) for k<4 and

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from automix_tpu.model import Model, ModelSet
+from automix_tpu.model import Model, ModelSet, memoized_set
 from automix_tpu.models.builtin import (_make_params_targets,
                                         _make_params_targets_cols)
 
@@ -23,6 +23,7 @@ _cols_normal, _cols_beta, _cols_gamma = _make_params_targets_cols(
     TUTORIAL_DATA)
 
 
+@memoized_set
 def tutorial_set(**kw) -> ModelSet:
     """ModelSet for the tutorial run (tutorial.c:16-28): inits per
     tutorial.c:19."""
