@@ -155,8 +155,8 @@ class EngineConfig:
     # Fused Pallas sweep engine (kernels/fused.py): run whole stage-3
     # chunks in one kernel with chain state resident in VMEM.  "auto" uses
     # it on real TPU whenever the run is eligible (float32 rwm — Gaussian
-    # or Student-t — per-chain or single-block pooled pk, all models
-    # provide logp_cols, small K*L*D unroll, traces only at
+    # or Student-t — per-chain OR pooled pk at any scale, column-form or
+    # FusedColsDensity densities available, dims <= 16, traces only at
     # trace_every > 1); "on" forces it (interpret mode off-TPU — for
     # tests); "off" always uses the XLA chunk runner.
     fused: str = "auto"
@@ -168,9 +168,11 @@ class EngineConfig:
     fused_rng: str = "auto"
     # Fused Pallas *stage-1* kernel (kernels/fused_stage1.py): the whole
     # model family's adaptive-RWM schedule as a sequence of short
-    # VMEM-resident pallas_call segments.  "auto" (default) uses it on
-    # real TPU whenever eligible (float32/Gaussian, column densities, no
-    # mesh); "on" forces it (interpret mode off-TPU — the test path);
+    # VMEM-resident pallas_call segments; under a mesh, per-shard lane
+    # blocks with per-sweep psum'd pooled adaptation (bitwise equal to
+    # unsharded).  "auto" (default) uses it on real TPU whenever eligible
+    # (float32, Gaussian or Student-t, column densities); "on" forces it
+    # (interpret mode off-TPU — the test path);
     # "off" always uses the XLA stage-1 scan (kernels/rwm.py).  An
     # earlier monolithic revision of this kernel wedged a v5e on first
     # hardware contact; the chunked redesign passed its hardware

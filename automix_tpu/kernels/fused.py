@@ -46,14 +46,19 @@ Randomness: two in-kernel sources, selected statically.
 Eligibility is checked by :func:`fused_eligible`; the sampler falls back
 to the XLA chunk runner for anything the kernel does not cover (per-sweep
 traces at stride 1 — decimated traces run fused, config.trace_every —
-HMC moves, pooled pk beyond one lane block, K*L*D unrolls beyond the
-VMEM/trace budget).  Student-t runs ARE covered: perturbations come from
-Bailey's exact polar inversion (rejection-free, fixed op count) and the
-latent Jacobian uses the t log-density.  Pooled pk IS covered when all
-chains fit one lane block (the global-histogram update becomes a cross-
-lane reduction).  Meshes ARE covered: under ``shard_map`` each shard runs
-its own blocks with globally-indexed RNG streams and the chunk statistics
-reduce with one psum.
+HMC moves, triangular unrolls beyond the VMEM/trace budget).  Student-t
+runs ARE covered: perturbations come from Bailey's exact polar inversion
+(rejection-free, fixed op count) and the latent Jacobian uses the t
+log-density.  Pooled pk IS covered at any scale: a single lane block
+does the global-histogram update as an in-kernel cross-lane reduction;
+multi-block and sharded runs take the semi-fused per-sweep runner
+(``_compiled_pooled`` — one-sweep kernels scanned with the shared
+Robbins-Monro update between, exact integer psums).  Meshes ARE covered:
+under ``shard_map`` each shard runs its own blocks with globally-indexed
+RNG streams and the chunk statistics reduce with one psum.  Dimensions
+up to 16 ARE covered (true-dim unroll budgets); matmul-heavy densities
+plug in through the FusedColsDensity protocol (:func:`make_density`)
+with VMEM-cached per-lane state — see models/ddi_cols.py.
 """
 
 from __future__ import annotations
