@@ -160,12 +160,10 @@ def main(argv=None):
         # fused, default to decimated traces; explicit --trace-every 1
         # restores exact reference-format per-sweep traces.
         from automix_tpu.kernels import fused
-        could_fuse = (
-            args.fused != "off"
-            and fused.fused_supported(modelset, cfg)
-            and cfg.n_chains % 1024 == 0
-            and (args.fused == "on"
-                 or jax.devices()[0].platform == "tpu"))
+        # lmax is unknown before the stage-2 fit; 4 is a typical
+        # post-trim component count and keeps the budget checks honest
+        could_fuse = fused.fused_eligible(modelset, cfg, collect=False,
+                                          mesh=None, lmax=4)
         if could_fuse:
             import dataclasses
             cfg = dataclasses.replace(cfg, trace_every=16)

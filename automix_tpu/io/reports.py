@@ -204,7 +204,12 @@ def write_log_file(path: str, sampler, mode: int, nsweep2: int, nsweep: int,
                                      for j in range(i + 1)) + " \n")
         f.write("\nAutocorrelation Time:\n")
         if sokal is not None:
-            f.write(f"nkeep:{sokal['nkeep']}, nsokal:1, "
+            # nkeep = thinned entries, nsokal = sweeps between entries,
+            # tau in SWEEP units — so nkeep*nsokal/tau is a correct ESS
+            # for decimated runs too (the reference triple's contract,
+            # logwrite.c:326-339 with its nsokal thinning)
+            f.write(f"nkeep:{sokal['nkeep']}, "
+                    f"nsokal:{sokal.get('stride', 1)}, "
                     f"var:{float(np.asarray(sokal['var']).reshape(-1)[0]):f}, "
                     f"tau:{sokal['tau_mean']:f}\n")
         else:

@@ -167,7 +167,10 @@ def run_fused_stage1_sharded(modelset, cfg: EngineConfig, nsweeps: int,
     counts, so the sig/sample trajectories are **bitwise identical** to
     the unsharded fused run (hash streams are indexed by global chain
     id; the segment-start logp refresh happens at the same global
-    sweeps).  Without this mode a meshed pipeline regressed to the slow
+    sweeps).  The cross-backend half of that claim — Mosaic's in-kernel
+    exp/log vs XLA:TPU's in the external update — was verified bit-for-
+    bit on v5e hardware via a 1-device-mesh run (bench/validate_tpu.py
+    pattern), not just under the CPU interpreter.  Without this mode a meshed pipeline regressed to the slow
     XLA stage-1 scan (VERDICT r4 weak #4).  Reference: automix.c:575-662.
     """
     import functools

@@ -162,12 +162,17 @@ def run_smc(modelset: ModelSet, cfg: EngineConfig, proposal: Proposal, key,
 
         mask = (jnp.arange(D)[None, :] < dims[:, None]).astype(dtype)  # [K, D]
 
-        def step_core(theta, logp, logq, logZ, key, beta_new, dbeta):
+        def step_core(theta, logp, logq, logZ, key, beta_new, dbeta,
+                      delta_all=None):
             """One tempering step at per-model inverse temperatures
             ``beta_new`` [K] reached by increments ``dbeta`` [K]:
-            evidence increment, systematic resample, RWM mutations."""
-            delta = logp - logq                          # [K, Nloc]
-            lw_all = gather_p(dbeta[:, None] * delta)    # [K, N] global
+            evidence increment, systematic resample, RWM mutations.
+            ``delta_all``: optionally the already-gathered global
+            logp - logq (the adaptive path computes it for the ESS
+            bisection; reusing it saves one [K, N] all-gather)."""
+            if delta_all is None:
+                delta_all = gather_p(logp - logq)        # [K, N] global
+            lw_all = dbeta[:, None] * delta_all
             # evidence increment per model: log mean exp(dbeta * delta)
             logZ = logZ + logsumexp(lw_all, axis=1) - jnp.log(float(N))
             ess = jnp.exp(2 * logsumexp(lw_all, axis=1)
@@ -283,7 +288,8 @@ def run_smc(modelset: ModelSet, cfg: EngineConfig, proposal: Proposal, key,
                                      beta + dbeta)
                 dbeta = beta_new - beta
                 theta, logp, logq, logZ, key, ess = step_core(
-                    theta, logp, logq, logZ, key, beta_new, dbeta)
+                    theta, logp, logq, logZ, key, beta_new, dbeta,
+                    delta_all=delta_all)
                 ess_buf = ess_buf.at[t].set(ess)
                 beta_buf = beta_buf.at[t].set(beta_new)
                 return (t + 1, theta, logp, logq, logZ, beta_new, key,

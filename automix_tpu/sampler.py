@@ -111,18 +111,11 @@ class AMSampler:
         """Dual-average the per-model HMC step-size multipliers before the
         first stage-3 runner is built (kernels/hmc.py:tune_step_scale).
         No-op unless within_move='hmc' with autotune on and a still-scalar
-        hmc_step_scale."""
-        import numpy as np  # noqa: F811 (module-level import shadow is fine)
+        hmc_step_scale; delegates to :meth:`retune_hmc`."""
         if (self.cfg.within_move != "hmc" or not self.cfg.hmc_autotune
                 or np.ndim(self.cfg.hmc_step_scale) != 0 or self._runners):
             return
-        import dataclasses
-
-        from automix_tpu.kernels.hmc import tune_step_scale
-        scales = tune_step_scale(self.modelset, self.cfg, self.proposal.sig,
-                                 self._next_key(), mesh=self.mesh)
-        self.cfg = dataclasses.replace(
-            self.cfg, hmc_step_scale=tuple(float(s) for s in scales))
+        self.retune_hmc()
 
     def _ensure_chains(self):
         if self.chains is None:
