@@ -17,7 +17,14 @@ evaluations.  Two ideas make the fused DDI sweep cheap:
     update is ~11 fused multiply-adds over the whole statistics array;
   - a **precision / error-variance** move leaves them untouched — only
     the closed-form 2x2/3x3 Woodbury recombination (M_c = var*Vinv +
-    G_c, adjugate inverse, log-determinants) is recomputed;
+    G_c, adjugate inverse, log-determinants) is recomputed.  (Caching
+    the Woodbury pieces too — adjugate-over-det weights + the
+    alpha-independent lp terms, so alpha moves skip the class algebra —
+    was tried and measured SLOWER on v5e: 65M vs 76M chain-sweeps/s.
+    The ~140 extra cache tiles push the VMEM-sized block from 2048 to
+    1024 lanes and add accept-blends on every precision move, costing
+    more than the saved adjugate arithmetic.  Don't re-add it without
+    re-measuring.);
   - the RJ move and the 1-in-10 block move evaluate in full and refresh
     the cache; the kernel additionally refreshes every ``_REFRESH``
     sweeps to bound incremental float32 drift (measured on v5e: after
