@@ -9,7 +9,7 @@ This is the script behind the numbers quoted in README.md / PERF.json
 prose (round-5 run: DDI fused 76M chain-sweeps/s = 14x XLA, parity
 2e-4; drift < 4e-3 over 6000 sweeps; pooled 1.50B = 87% of per-chain).
 
-Usage: python bench/validate_tpu.py [ddi|drift|pooled|all]
+Usage: python bench/validate_tpu.py [ddi|smoke|drift|pooled|all]
 """
 
 import json
@@ -54,6 +54,52 @@ def validate_ddi():
         print(f"[ddi {mode}] parity vs C oracle: max err {err:.4f}")
         assert err < 0.01, (mode, probs, ref)
     print(f"[ddi] fused/xla speedup: {res['on'][0] / res['off'][0]:.1f}x")
+
+
+def validate_smoke():
+    """Compiled-kernel smoke with a synthetic broad proposal: runs,
+    mixes, keeps state finite and the dim-10 model's padded tail zero."""
+    import jax.numpy as jnp
+
+    from automix_tpu.config import EngineConfig
+    from automix_tpu.models.ddi import C0, C1, ddi_set
+    from automix_tpu.sampler import AMSampler
+    from automix_tpu.state import Proposal
+
+    cfg = EngineConfig(n_chains=1024, sweep_chunk=50, seed=3,
+                       trace_chain0=False, fused="on")
+    K, D, L = 2, 16, 2
+    mu = np.zeros((K, L, D), np.float32)
+    mu[0, :, :] = np.concatenate([C0, [1, 0, 1, 0, 0, 1], [100.0]])
+    mu[1, :, :10] = np.concatenate([C1, [1, 0, 1], [100.0]])
+    B = np.broadcast_to(np.eye(D, dtype=np.float32), (K, L, D, D)).copy()
+    B *= 0.3
+    B[0, :, 15, 15] = 20.0
+    B[1, :, 9, 9] = 20.0
+    lam = np.zeros((K, L), np.float32)
+    lam[:, 0] = 1.0
+    logdet = np.zeros((K, L), np.float32)
+    for k, d in enumerate((16, 10)):
+        for li in range(L):
+            logdet[k, li] = np.log(np.abs(np.diag(B[k, li])[:d])).sum()
+    prop = Proposal(lam=jnp.asarray(lam), mu=jnp.asarray(mu),
+                    B=jnp.asarray(B), logdetB=jnp.asarray(logdet),
+                    nmix=jnp.ones((K,), jnp.int32),
+                    sig=jnp.full((K, D), 0.1, jnp.float32))
+    am = AMSampler(ddi_set(), cfg)
+    am.set_proposal(prop)
+    stats = am.rjmcmc_samples(200, collect=False)
+    assert stats.ksummary.sum() == 1024 * 200
+    assert stats.nacctd > 0
+    lp = np.asarray(am.chains.logp)
+    th = np.asarray(am.chains.theta)
+    k = np.asarray(am.chains.k)
+    assert np.isfinite(lp).all() and np.isfinite(th).all()
+    assert lp.min() > -1e6
+    m1 = k == 1
+    if m1.any():
+        assert np.abs(th[m1][:, 10:]).max() == 0.0
+    print("[smoke] 200 compiled DDI sweeps: state finite, padding clean")
 
 
 def validate_drift():
@@ -111,6 +157,8 @@ if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("ddi", "all"):
         validate_ddi()
+    if which in ("smoke", "all"):
+        validate_smoke()
     if which in ("drift", "all"):
         validate_drift()
     if which in ("pooled", "all"):

@@ -149,54 +149,9 @@ def test_density_coord_identity_skip():
     assert all(a is b for a, b in zip(cache4[n0:], cache[n0:]))
 
 
-@pytest.mark.slow
-@pytest.mark.skipif(jax.devices()[0].platform != "tpu",
-                    reason="the scalar-immediate DDI kernel body (~60k "
-                           "eqns) takes >10 min to compile under "
-                           "XLA:CPU interpret; kernel-level DDI checks "
-                           "run on TPU (bench_suite parity guard)")
-def test_ddi_fused_kernel_interpret():
-    """The full fused sweep kernel over the DDI family (dims 16/10,
-    incremental density): runs, mixes, keeps state finite and padding
-    clean."""
-    import jax.numpy as jnp
-
-    from automix_tpu.config import EngineConfig
-    from automix_tpu.sampler import AMSampler
-    from automix_tpu.state import Proposal
-    from automix_tpu.models.ddi import ddi_set, C0, C1
-
-    cfg = EngineConfig(n_chains=1024, sweep_chunk=10, seed=3,
-                       trace_chain0=False, fused="on")
-    K, D, L = 2, 16, 2
-    mu = np.zeros((K, L, D), np.float32)
-    mu[0, :, :] = np.concatenate([C0, [1, 0, 1, 0, 0, 1], [100.0]])
-    mu[1, :, :10] = np.concatenate([C1, [1, 0, 1], [100.0]])
-    B = np.broadcast_to(np.eye(D, dtype=np.float32), (K, L, D, D)).copy()
-    B[0] *= 0.3
-    B[1] *= 0.3
-    B[0, :, 15, 15] = 20.0
-    B[1, :, 9, 9] = 20.0
-    lam = np.zeros((K, L), np.float32)
-    lam[:, 0] = 1.0
-    logdet = np.zeros((K, L), np.float32)
-    for k, d in enumerate((16, 10)):
-        for l in range(L):
-            logdet[k, l] = np.log(np.abs(np.diag(B[k, l])[:d])).sum()
-    prop = Proposal(lam=jnp.asarray(lam), mu=jnp.asarray(mu),
-                    B=jnp.asarray(B), logdetB=jnp.asarray(logdet),
-                    nmix=jnp.ones((K,), jnp.int32),
-                    sig=jnp.full((K, D), 0.1, jnp.float32))
-    am = AMSampler(ddi_set(), cfg)
-    am.set_proposal(prop)
-    stats = am.rjmcmc_samples(30, collect=False)
-    assert stats.ksummary.sum() == 1024 * 30
-    assert stats.nacctd > 0
-    lp = np.asarray(am.chains.logp)
-    th = np.asarray(am.chains.theta)
-    k = np.asarray(am.chains.k)
-    assert np.isfinite(lp).all() and np.isfinite(th).all()
-    assert lp.min() > -1e6          # in-support states, plausible logp
-    m1 = k == 1
-    if m1.any():                    # padded tail of dim-10 lanes stays 0
-        assert np.abs(th[m1][:, 10:]).max() == 0.0
+# NOTE: kernel-level DDI checks (compiled-kernel smoke, fused-vs-XLA
+# statistical parity at scale, drift bound) run on hardware via
+# bench/validate_tpu.py — tests/conftest.py pins the suite to the CPU
+# backend, where the ~60k-equation DDI kernel body exceeds XLA:CPU
+# interpret compile budgets.  The density formulas themselves are
+# exactness-tested above on every backend.
