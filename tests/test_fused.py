@@ -399,3 +399,41 @@ def test_bailey_t_marginals():
         assert abs(t.var() - var) < 0.05
         # symmetry of the tails
         assert abs((t > 2).mean() - (t < -2).mean()) < 2e-3
+
+
+def test_fused_pooled_checkpoint_resume(tmp_path):
+    """save/load mid-run through the semi-fused pooled runner continues
+    the exact trajectories (shared pk, pkllim, and nreinit ride the
+    checkpoint; hash streams are sweep-indexed)."""
+    path = str(tmp_path / "pooled_ckpt.npz")
+
+    def mk():
+        am = _mk_sampler(toy.toy1_set, seed=19, pk_mode="pooled",
+                         fused_rng="hash")
+        fused._FORCE_POOLED_SCAN = True
+        return am
+
+    try:
+        am_a = mk()
+        am_a.estimate_conditional_probs()
+        am_a.burn_samples(20)
+        am_a.rjmcmc_samples(100, collect=False)
+
+        am_b = mk()
+        am_b.estimate_conditional_probs()
+        am_b.burn_samples(20)
+        am_b.rjmcmc_samples(50, collect=False)
+        am_b.save(path)
+
+        am_c = mk()
+        am_c.load(path)
+        am_c.rjmcmc_samples(50, collect=False)
+    finally:
+        fused._FORCE_POOLED_SCAN = False
+
+    np.testing.assert_array_equal(np.asarray(am_a.chains.k),
+                                  np.asarray(am_c.chains.k))
+    np.testing.assert_array_equal(np.asarray(am_a.chains.theta),
+                                  np.asarray(am_c.chains.theta))
+    np.testing.assert_array_equal(np.asarray(am_a.chains.pk),
+                                  np.asarray(am_c.chains.pk))
