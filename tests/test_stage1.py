@@ -218,3 +218,23 @@ def test_fused_stage1_sharded_mixed_dims(eight_devices):
     np.testing.assert_array_equal(outs["single"][0], outs["sharded"][0])
     np.testing.assert_array_equal(outs["single"][1], outs["sharded"][1])
     assert np.all(outs["sharded"][1][0, :, 1:] == 0.0)
+
+
+def test_fused_stage1_sharded_student_t_bitwise(eight_devices):
+    """Student-t stage-1 proposals (Bailey polar draws) through the
+    sharded per-sweep kernel: bitwise equal to the unsharded fused
+    kernel, like the Gaussian case."""
+    from automix_tpu.parallel import mesh as mesh_lib
+    from automix_tpu.models.tutorial import tutorial_set
+
+    outs = {}
+    for nm, mesh in (("single", None), ("sharded", mesh_lib.make_mesh(8))):
+        ms = tutorial_set()
+        cfg = EngineConfig(n_chains_stage1=128, stage1_sweeps=200,
+                           seed=29, fused_stage1="on", student_t_dof=5,
+                           rng="threefry")
+        sig, smp, _ = rwm.run_stage1(ms, cfg, jax.random.PRNGKey(8),
+                                     200, mesh=mesh)
+        outs[nm] = (np.asarray(sig), np.asarray(smp))
+    np.testing.assert_array_equal(outs["single"][0], outs["sharded"][0])
+    np.testing.assert_array_equal(outs["single"][1], outs["sharded"][1])
